@@ -1,0 +1,17 @@
+from audioldm_tpu.ckpt.hf_bridge import (
+    convert_clap_text_state,
+    convert_unet_state,
+    convert_vae_state,
+    convert_vocoder_state,
+    load_audioldm_checkpoint,
+    load_safetensors,
+)
+
+__all__ = [
+    "convert_clap_text_state",
+    "convert_unet_state",
+    "convert_vae_state",
+    "convert_vocoder_state",
+    "load_audioldm_checkpoint",
+    "load_safetensors",
+]

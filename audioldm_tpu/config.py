@@ -1,0 +1,309 @@
+"""Typed configuration layer.
+
+The reference repo has a vestigial ``config/config.yaml`` that no code loads
+(reference: config/config.yaml:1-30; every entry point hardcodes constants,
+e.g. script/train/train_audioldm_lora.py:67-76,405-412). Here the same schema
+is a first-class, typed config that every entry point actually consumes.
+
+Model configs mirror the HuggingFace checkpoint ``config.json`` schemas so the
+checkpoint bridge (audioldm_tpu.ckpt) can build models directly from
+``cvssp/audioldm-s-full-v2`` subfolder configs. The defaults below are
+best-effort values for audioldm-s; the loader always prefers the JSON that
+ships with the checkpoint.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Any, Optional, Sequence
+
+
+def _freeze(x):
+    if isinstance(x, list):
+        return tuple(_freeze(v) for v in x)
+    return x
+
+
+@dataclass(frozen=True)
+class DDIMConfig:
+    """DDIM schedule (reference: diffusers DDIMScheduler as configured by the
+    ``cvssp/audioldm-s-full-v2`` ``scheduler/scheduler_config.json``; exercised
+    at script/train/train_audioldm_lora.py:367,503-504)."""
+
+    num_train_timesteps: int = 1000
+    beta_start: float = 0.0015
+    beta_end: float = 0.0195
+    beta_schedule: str = "scaled_linear"
+    clip_sample: bool = False
+    set_alpha_to_one: bool = False
+    steps_offset: int = 1
+    prediction_type: str = "epsilon"
+    timestep_spacing: str = "leading"
+
+    @classmethod
+    def from_hf(cls, d: dict) -> "DDIMConfig":
+        keys = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: _freeze(v) for k, v in d.items() if k in keys})
+
+
+@dataclass(frozen=True)
+class UNetConfig:
+    """UNet2DConditionModel config (reference call site:
+    script/train/train_audioldm_lora.py:539-546 — conditioning enters through
+    the class-embedding path: ``encoder_hidden_states=None``,
+    ``class_labels=512-d pooled CLAP text embedding``)."""
+
+    sample_size: int = 64
+    in_channels: int = 8
+    out_channels: int = 8
+    down_block_types: Sequence[str] = (
+        "CrossAttnDownBlock2D",
+        "CrossAttnDownBlock2D",
+        "CrossAttnDownBlock2D",
+        "DownBlock2D",
+    )
+    up_block_types: Sequence[str] = (
+        "UpBlock2D",
+        "CrossAttnUpBlock2D",
+        "CrossAttnUpBlock2D",
+        "CrossAttnUpBlock2D",
+    )
+    block_out_channels: Sequence[int] = (128, 256, 384, 640)
+    layers_per_block: int = 2
+    norm_num_groups: int = 32
+    norm_eps: float = 1e-5
+    act_fn: str = "silu"
+    attention_head_dim: Any = 8  # diffusers legacy: this is the head *count*
+    cross_attention_dim: Optional[int] = None  # None -> attn2 self-attends
+    class_embed_type: Optional[str] = "simple_projection"
+    projection_class_embeddings_input_dim: int = 512
+    class_embeddings_concat: bool = True
+    freq_shift: int = 0
+    flip_sin_to_cos: bool = True
+    downsample_padding: int = 1
+    mid_block_scale_factor: float = 1.0
+    use_linear_projection: bool = False
+    transformer_layers_per_block: int = 1
+
+    @classmethod
+    def from_hf(cls, d: dict) -> "UNetConfig":
+        keys = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: _freeze(v) for k, v in d.items() if k in keys})
+
+    def num_heads(self, channels: int) -> int:
+        # diffusers naming bug: `attention_head_dim` is historically the number
+        # of attention heads for UNet2DConditionModel.
+        ahd = self.attention_head_dim
+        if isinstance(ahd, (tuple, list)):
+            idx = list(self.block_out_channels).index(channels)
+            return int(ahd[idx])
+        return int(ahd)
+
+
+@dataclass(frozen=True)
+class VAEConfig:
+    """AutoencoderKL config (reference call site:
+    script/train/train_audioldm_lora.py:370,495-496; 1024x64 log-mel ->
+    [B,8,256,16] latents for 10.24 s)."""
+
+    in_channels: int = 1
+    out_channels: int = 1
+    down_block_types: Sequence[str] = ("DownEncoderBlock2D",) * 3
+    up_block_types: Sequence[str] = ("UpDecoderBlock2D",) * 3
+    block_out_channels: Sequence[int] = (128, 256, 512)
+    layers_per_block: int = 2
+    latent_channels: int = 8
+    norm_num_groups: int = 32
+    act_fn: str = "silu"
+    scaling_factor: float = 0.9227914214134216
+    sample_size: int = 512
+
+    @classmethod
+    def from_hf(cls, d: dict) -> "VAEConfig":
+        keys = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: _freeze(v) for k, v in d.items() if k in keys})
+
+
+@dataclass(frozen=True)
+class ClapTextConfig:
+    """CLAP text tower = RoBERTa encoder + 2-layer MLP projection
+    (reference call site: script/train/train_audioldm_lora.py:368-369,513-524;
+    transformers ClapTextModelWithProjection)."""
+
+    vocab_size: int = 50265
+    hidden_size: int = 768
+    num_hidden_layers: int = 12
+    num_attention_heads: int = 12
+    intermediate_size: int = 3072
+    hidden_act: str = "gelu"
+    max_position_embeddings: int = 514
+    type_vocab_size: int = 1
+    layer_norm_eps: float = 1e-12
+    pad_token_id: int = 1
+    bos_token_id: int = 0
+    eos_token_id: int = 2
+    projection_dim: int = 512
+    projection_hidden_act: str = "relu"
+
+    @classmethod
+    def from_hf(cls, d: dict) -> "ClapTextConfig":
+        keys = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: _freeze(v) for k, v in d.items() if k in keys})
+
+
+@dataclass(frozen=True)
+class VocoderConfig:
+    """SpeechT5HifiGan config (reference call site:
+    script/train/train_audioldm_lora.py:371; mel [B,T,64] -> 16 kHz waveform,
+    hop 160 -> upsample rates multiply to 160)."""
+
+    model_in_dim: int = 64
+    sampling_rate: int = 16000
+    upsample_initial_channel: int = 1024
+    upsample_rates: Sequence[int] = (5, 4, 2, 2, 2)
+    upsample_kernel_sizes: Sequence[int] = (16, 16, 8, 4, 4)
+    resblock_kernel_sizes: Sequence[int] = (3, 7, 11)
+    resblock_dilation_sizes: Sequence[Sequence[int]] = (
+        (1, 3, 5),
+        (1, 3, 5),
+        (1, 3, 5),
+    )
+    leaky_relu_slope: float = 0.1
+    normalize_before: bool = True
+
+    @classmethod
+    def from_hf(cls, d: dict) -> "VocoderConfig":
+        keys = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: _freeze(v) for k, v in d.items() if k in keys})
+
+
+@dataclass(frozen=True)
+class MelConfig:
+    """STFT/mel front-end (reference: script/data/datasets.py:59-90,301-354 —
+    filter_length 1024, hop 160, win 1024, 64 mels, 16 kHz, fmin 0, fmax 8000,
+    duration 10.24 s -> target_length 1024 frames)."""
+
+    sampling_rate: int = 16000
+    filter_length: int = 1024
+    hop_length: int = 160
+    win_length: int = 1024
+    n_mel: int = 64
+    mel_fmin: float = 0.0
+    mel_fmax: float = 8000.0
+    duration: float = 10.24
+
+    @property
+    def target_length(self) -> int:
+        return int(self.duration * self.sampling_rate / self.hop_length)
+
+    @property
+    def num_samples(self) -> int:
+        return int(self.duration * self.sampling_rate)
+
+
+@dataclass(frozen=True)
+class LoRAConfig:
+    """LoRA adapter config (reference: LoraConfig(r=2, lora_alpha=2,
+    init_lora_weights="gaussian", target_modules=["to_q","to_v"]) at
+    script/train/train_audioldm_lora.py:378-383; r=2/alpha=4 variant at
+    script/inference/generate_audio.py:21-26)."""
+
+    r: int = 2
+    lora_alpha: float = 2.0
+    init_lora_weights: str = "gaussian"
+    target_modules: Sequence[str] = ("to_q", "to_v")
+
+    @property
+    def scale(self) -> float:
+        return float(self.lora_alpha) / float(self.r)
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Training hyperparameters (reference hardcodes: bs 2, 1000 epochs,
+    97000 max steps, ckpt every 19400, AdamW lr 1e-5 betas (0.9,0.999)
+    wd 1e-5 eps 1e-8, polynomial decay, clip 1.0 —
+    script/train/train_audioldm_lora.py:396-412,438-443,559-561; the yaml
+    schema at config/config.yaml:20-30 is also honored)."""
+
+    num_workers: int = 4
+    train_batch_size: int = 2
+    num_train_epochs: int = 1000
+    max_train_steps: int = 97000
+    checkpointing_steps: int = 19400
+    gradient_accumulation_steps: int = 1
+    learning_rate: float = 1.0e-5
+    weight_decay: float = 1.0e-5
+    betas: Sequence[float] = (0.9, 0.999)
+    eps: float = 1.0e-8
+    lr_scheduler: str = "polynomial"
+    lr_warmup_steps: int = 0
+    max_grad_norm: float = 1.0
+    seed: int = 0
+    mixed_precision: Optional[str] = "bfloat16"
+
+
+@dataclass(frozen=True)
+class RunConfig:
+    """Top-level run config honoring the reference's config/config.yaml schema
+    (config/config.yaml:1-30)."""
+
+    base_model_id: str = "cvssp/audioldm-s-full-v2"
+    dataset_hub_id: str = "Rofla/AudioLDM-with-LoRA-Hiphop-subgenre"
+    output_dir: str = "./output"
+    validation_prompt: str = "hip hop music, The subgenre of hip-hop is boom bap."
+    validation_epochs: int = 100
+    num_validation_images: int = 5
+    lora: LoRAConfig = field(default_factory=LoRAConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    mel: MelConfig = field(default_factory=MelConfig)
+    wandb: dict = field(default_factory=dict)
+
+    @classmethod
+    def from_yaml(cls, path: str, **overrides) -> "RunConfig":
+        import yaml
+
+        with open(path) as f:
+            raw = yaml.safe_load(f) or {}
+        raw.update(overrides)
+        kwargs: dict = {}
+        for key in (
+            "base_model_id",
+            "dataset_hub_id",
+            "output_dir",
+            "validation_prompt",
+            "validation_epochs",
+            "num_validation_images",
+        ):
+            if key in raw:
+                kwargs[key] = raw[key]
+        if "lora" in raw:
+            kwargs["lora"] = LoRAConfig(**{**raw["lora"]})
+        if "train" in raw:
+            t = dict(raw["train"])
+            if "betas" in t:
+                t["betas"] = tuple(t["betas"])
+            if "eps" in t:
+                t["eps"] = float(t["eps"])
+            if "learning_rate" in t:
+                t["learning_rate"] = float(t["learning_rate"])
+            known = {f.name for f in dataclasses.fields(TrainConfig)}
+            kwargs["train"] = TrainConfig(**{k: v for k, v in t.items() if k in known})
+        if "wandb" in raw:
+            kwargs["wandb"] = dict(raw["wandb"])
+        return cls(**kwargs)
+
+
+def load_hf_config(checkpoint_dir: str, subfolder: str) -> dict:
+    """Read a HuggingFace-style ``config.json`` (or scheduler_config.json)
+    from a local checkpoint directory."""
+    folder = os.path.join(checkpoint_dir, subfolder)
+    for name in ("config.json", "scheduler_config.json", "preprocessor_config.json"):
+        p = os.path.join(folder, name)
+        if os.path.exists(p):
+            with open(p) as f:
+                return json.load(f)
+    raise FileNotFoundError(f"no config json under {folder}")

@@ -1,0 +1,1 @@
+from audioldm_tpu.models import clap_text, nn, scheduler, unet, vae, vocoder  # noqa: F401

@@ -1,0 +1,302 @@
+"""Shared neural-net building blocks — functional core.
+
+Every model in audioldm_tpu is a nested dict of arrays (a pytree) plus pure
+``apply`` functions built from these blocks. Conventions, chosen for TPU:
+
+- Activations are **NHWC** (channels-last) — the layout XLA:TPU prefers for
+  convs; the HF checkpoints' NCHW/OIHW tensors are transposed once at load by
+  the ckpt bridge.
+- Linear weights are ``[in, out]`` (right-multiply); torch ``[out, in]``
+  weights are transposed at load.
+- Conv kernels are ``HWIO`` (2-D) / ``WIO`` (1-D).
+- Matmuls carry ``preferred_element_type=float32`` so bf16 inputs accumulate
+  in fp32 on the MXU; norms and softmax always run in fp32.
+
+Reference behavior being matched (not the implementation): the torch modules
+diffusers/transformers instantiate for the audioldm-s stack — see SURVEY.md
+§2b and the call sites cited in each model file.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Initializers (used for tests and LoRA init; real weights come from ckpt)
+# ---------------------------------------------------------------------------
+
+
+def _fan_in_uniform(key, shape, fan_in, dtype=jnp.float32):
+    bound = 1.0 / math.sqrt(fan_in) if fan_in > 0 else 0.0
+    return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
+
+
+def init_linear(key, in_dim: int, out_dim: int, bias: bool = True, dtype=jnp.float32) -> dict:
+    k1, k2 = jax.random.split(key)
+    p = {"kernel": _fan_in_uniform(k1, (in_dim, out_dim), in_dim, dtype)}
+    if bias:
+        p["bias"] = _fan_in_uniform(k2, (out_dim,), in_dim, dtype)
+    return p
+
+
+def init_conv2d(key, in_ch: int, out_ch: int, kernel_size: int, bias: bool = True, dtype=jnp.float32) -> dict:
+    k1, k2 = jax.random.split(key)
+    fan_in = in_ch * kernel_size * kernel_size
+    p = {"kernel": _fan_in_uniform(k1, (kernel_size, kernel_size, in_ch, out_ch), fan_in, dtype)}
+    if bias:
+        p["bias"] = _fan_in_uniform(k2, (out_ch,), fan_in, dtype)
+    return p
+
+
+def init_conv1d(key, in_ch: int, out_ch: int, kernel_size: int, bias: bool = True, dtype=jnp.float32) -> dict:
+    k1, k2 = jax.random.split(key)
+    fan_in = in_ch * kernel_size
+    p = {"kernel": _fan_in_uniform(k1, (kernel_size, in_ch, out_ch), fan_in, dtype)}
+    if bias:
+        p["bias"] = _fan_in_uniform(k2, (out_ch,), fan_in, dtype)
+    return p
+
+
+def init_norm(dim: int, dtype=jnp.float32) -> dict:
+    return {"scale": jnp.ones((dim,), dtype), "bias": jnp.zeros((dim,), dtype)}
+
+
+def init_embedding(key, num: int, dim: int, dtype=jnp.float32) -> dict:
+    return {"embedding": jax.random.normal(key, (num, dim), dtype) * 0.02}
+
+
+# ---------------------------------------------------------------------------
+# Primitive applies
+# ---------------------------------------------------------------------------
+
+
+def linear(p: dict, x: jnp.ndarray) -> jnp.ndarray:
+    y = jnp.matmul(x, p["kernel"].astype(x.dtype), preferred_element_type=jnp.float32)
+    y = y.astype(x.dtype)
+    if "bias" in p:
+        y = y + p["bias"].astype(x.dtype)
+    return y
+
+
+def conv2d(
+    p: dict,
+    x: jnp.ndarray,
+    stride: int | tuple[int, int] = 1,
+    padding: int | tuple[int, int] = 0,
+    dilation: int = 1,
+) -> jnp.ndarray:
+    """NHWC conv with torch-style symmetric integer padding."""
+    if isinstance(stride, int):
+        stride = (stride, stride)
+    if isinstance(padding, int):
+        padding = (padding, padding)
+    pad = [(padding[0], padding[0]), (padding[1], padding[1])]
+    y = jax.lax.conv_general_dilated(
+        x,
+        p["kernel"].astype(x.dtype),
+        window_strides=stride,
+        padding=pad,
+        rhs_dilation=(dilation, dilation),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    if "bias" in p:
+        y = y + p["bias"].astype(x.dtype)
+    return y
+
+
+def conv1d(
+    p: dict,
+    x: jnp.ndarray,
+    stride: int = 1,
+    padding: int = 0,
+    dilation: int = 1,
+    groups: int = 1,
+) -> jnp.ndarray:
+    """NWC conv1d with torch-style symmetric integer padding."""
+    y = jax.lax.conv_general_dilated(
+        x,
+        p["kernel"].astype(x.dtype),
+        window_strides=(stride,),
+        padding=[(padding, padding)],
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        feature_group_count=groups,
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    if "bias" in p:
+        y = y + p["bias"].astype(x.dtype)
+    return y
+
+
+def conv_transpose1d(p: dict, x: jnp.ndarray, stride: int, padding: int) -> jnp.ndarray:
+    """NWC transposed conv matching ``torch.nn.ConvTranspose1d(stride,
+    padding)``. Kernel stored ``WIO`` with I=in_ch, O=out_ch (torch's IOW is
+    transposed at load). Implemented as lhs-dilated conv: insert (stride-1)
+    zeros between inputs, flip the kernel, swap I/O, and crop
+    ``kernel_size - 1 - padding`` from each side."""
+    k = p["kernel"].astype(x.dtype)  # [W, I, O]
+    kw = k.shape[0]
+    pad = kw - 1 - padding
+    y = jax.lax.conv_general_dilated(
+        x,
+        jnp.flip(k, axis=0),
+        window_strides=(1,),
+        padding=[(pad, pad)],
+        lhs_dilation=(stride,),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    if "bias" in p:
+        y = y + p["bias"].astype(x.dtype)
+    return y
+
+
+def group_norm(p: dict, x: jnp.ndarray, num_groups: int, eps: float = 1e-5) -> jnp.ndarray:
+    """GroupNorm over channels-last activations ``[..., C]`` in fp32."""
+    orig_dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    shape = xf.shape
+    c = shape[-1]
+    g = num_groups
+    xg = xf.reshape(shape[0], -1, g, c // g)  # [B, spatial, G, C/G]
+    mean = jnp.mean(xg, axis=(1, 3), keepdims=True)
+    var = jnp.var(xg, axis=(1, 3), keepdims=True)
+    xg = (xg - mean) * jax.lax.rsqrt(var + eps)
+    xf = xg.reshape(shape)
+    xf = xf * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    return xf.astype(orig_dtype)
+
+
+def layer_norm(p: dict, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    orig_dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    xf = (xf - mean) * jax.lax.rsqrt(var + eps)
+    xf = xf * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    return xf.astype(orig_dtype)
+
+
+def gelu(x: jnp.ndarray) -> jnp.ndarray:
+    """Exact (erf) GELU — torch's default, used by RoBERTa and diffusers GEGLU."""
+    return jax.nn.gelu(x, approximate=False)
+
+
+def silu(x: jnp.ndarray) -> jnp.ndarray:
+    return jax.nn.silu(x)
+
+
+ACT = {"silu": silu, "swish": silu, "gelu": gelu, "relu": jax.nn.relu, "mish": lambda x: x * jnp.tanh(jax.nn.softplus(x)), "tanh": jnp.tanh}
+
+
+# ---------------------------------------------------------------------------
+# Attention
+# ---------------------------------------------------------------------------
+
+
+def init_attention(key, query_dim: int, heads: int, context_dim: Optional[int] = None, dtype=jnp.float32) -> dict:
+    context_dim = context_dim or query_dim
+    ks = jax.random.split(key, 4)
+    return {
+        "to_q": init_linear(ks[0], query_dim, query_dim, bias=False, dtype=dtype),
+        "to_k": init_linear(ks[1], context_dim, query_dim, bias=False, dtype=dtype),
+        "to_v": init_linear(ks[2], context_dim, query_dim, bias=False, dtype=dtype),
+        "to_out": init_linear(ks[3], query_dim, query_dim, bias=True, dtype=dtype),
+    }
+
+
+def sdpa(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Scaled dot-product attention over ``[B, H, N, D]``; softmax in fp32.
+
+    XLA fuses this into an efficient attention on TPU for the sequence
+    lengths in this model family (<= 4096 latent tokens); a Pallas
+    flash-attention kernel can be swapped in here (audioldm_tpu.kernels)."""
+    scale = 1.0 / math.sqrt(q.shape[-1])
+    logits = jnp.einsum("bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32) * scale
+    if mask is not None:
+        logits = logits + mask
+    weights = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhnm,bhmd->bhnd", weights, v, preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+def _split_heads(x: jnp.ndarray, heads: int) -> jnp.ndarray:
+    b, n, c = x.shape
+    return x.reshape(b, n, heads, c // heads).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
+    b, h, n, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, n, h * d)
+
+
+def attention(
+    p: dict,
+    x: jnp.ndarray,
+    context: Optional[jnp.ndarray] = None,
+    heads: int = 8,
+    mask: Optional[jnp.ndarray] = None,
+    lora: Optional[dict] = None,
+    lora_scale: float = 1.0,
+) -> jnp.ndarray:
+    """Multi-head attention over token sequences ``[B, N, C]``.
+
+    ``lora``: optional dict of per-projection low-rank adapters
+    ``{"to_q": {"a": [C,r], "b": [r,C]}, ...}`` applied unmerged as
+    ``W x + scale * (x A) B`` — the training-time LoRA path (reference:
+    peft LoraLayer behavior pinned at train_audioldm_lora.py:378-385).
+    """
+    context = x if context is None else context
+
+    def proj(name: str, inp: jnp.ndarray) -> jnp.ndarray:
+        y = linear(p[name], inp)
+        if lora is not None and name in lora:
+            a = lora[name]["a"].astype(inp.dtype)
+            b = lora[name]["b"].astype(inp.dtype)
+            y = y + lora_scale * jnp.matmul(jnp.matmul(inp, a), b)
+        return y
+
+    q = _split_heads(proj("to_q", x), heads)
+    k = _split_heads(proj("to_k", context), heads)
+    v = _split_heads(proj("to_v", context), heads)
+    out = _merge_heads(sdpa(q, k, v, mask))
+    y = linear(p["to_out"], out)
+    if lora is not None and "to_out" in lora:
+        a = lora["to_out"]["a"].astype(out.dtype)
+        b = lora["to_out"]["b"].astype(out.dtype)
+        y = y + lora_scale * jnp.matmul(jnp.matmul(out, a), b)
+    return y
+
+
+# ---------------------------------------------------------------------------
+# Timestep embedding
+# ---------------------------------------------------------------------------
+
+
+def timestep_embedding(
+    timesteps: jnp.ndarray,
+    dim: int,
+    flip_sin_to_cos: bool = True,
+    downscale_freq_shift: float = 0.0,
+    max_period: float = 10000.0,
+) -> jnp.ndarray:
+    """Sinusoidal timestep embedding matching diffusers ``Timesteps`` as
+    configured for UNet2DConditionModel (flip_sin_to_cos=True, freq_shift=0)."""
+    half = dim // 2
+    exponent = -math.log(max_period) * jnp.arange(half, dtype=jnp.float32)
+    exponent = exponent / (half - downscale_freq_shift)
+    emb = jnp.exp(exponent)[None, :] * timesteps.astype(jnp.float32)[:, None]
+    sin, cos = jnp.sin(emb), jnp.cos(emb)
+    emb = jnp.concatenate([cos, sin] if flip_sin_to_cos else [sin, cos], axis=-1)
+    if dim % 2 == 1:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
+
+
+def count_params(tree) -> int:
+    return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(tree))

@@ -1,0 +1,89 @@
+"""HiFi-GAN vocoder (SpeechT5HifiGan-compatible).
+
+Behavior pinned by the reference's vocoder load
+(script/train/train_audioldm_lora.py:371) and the pipeline stage mel
+``[B, T, 64]`` -> waveform @16 kHz with hop 160 (SURVEY.md §3.2): optional
+mean/scale input normalization, conv_pre (k=7), a stack of transposed-conv
+upsamplers whose rates multiply to 160, multi-receptive-field residual blocks
+(kernels x dilations, averaged), leaky-relu, conv_post, tanh.
+
+Parity is tested against the installed ``transformers.SpeechT5HifiGan`` with
+shared weights (tests/test_vocoder.py).
+
+TPU-first: NWC layout; transposed convs are lhs-dilated convs (XLA native);
+the whole vocoder jits into the generation graph so mel->wav never leaves the
+device.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from audioldm_tpu.config import VocoderConfig
+from audioldm_tpu.models.nn import conv1d, conv_transpose1d, init_conv1d
+
+
+def _leaky(x: jnp.ndarray, slope: float) -> jnp.ndarray:
+    return jnp.where(x >= 0, x, x * slope)
+
+
+def init_vocoder(key, cfg: VocoderConfig = VocoderConfig()) -> dict:
+    keys = iter(jax.random.split(key, 512))
+    nk = lambda: next(keys)
+    p: dict = {
+        "conv_pre": init_conv1d(nk(), cfg.model_in_dim, cfg.upsample_initial_channel, 7),
+        "upsampler": {},
+        "resblocks": {},
+        "mean": jnp.zeros((cfg.model_in_dim,)),
+        "scale": jnp.ones((cfg.model_in_dim,)),
+    }
+    ch = cfg.upsample_initial_channel
+    num_kernels = len(cfg.resblock_kernel_sizes)
+    for i, (rate, ksize) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
+        in_ch = cfg.upsample_initial_channel // (2**i)
+        out_ch = cfg.upsample_initial_channel // (2 ** (i + 1))
+        # stored WIO (in, out); torch ConvTranspose1d weight [in, out, W] transposed at load
+        p["upsampler"][str(i)] = init_conv1d(nk(), in_ch, out_ch, ksize)
+        ch = out_ch
+        for j, (k, dil) in enumerate(zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes)):
+            rb = {
+                "convs1": {str(d): init_conv1d(nk(), out_ch, out_ch, k) for d in range(len(dil))},
+                "convs2": {str(d): init_conv1d(nk(), out_ch, out_ch, k) for d in range(len(dil))},
+            }
+            p["resblocks"][str(i * num_kernels + j)] = rb
+    p["conv_post"] = init_conv1d(nk(), ch, 1, 7)
+    return p
+
+
+def _apply_resblock(p: dict, x: jnp.ndarray, kernel_size: int, dilations, slope: float) -> jnp.ndarray:
+    for d, dil in enumerate(dilations):
+        res = x
+        h = _leaky(x, slope)
+        h = conv1d(p["convs1"][str(d)], h, padding=(kernel_size * dil - dil) // 2, dilation=dil)
+        h = _leaky(h, slope)
+        h = conv1d(p["convs2"][str(d)], h, padding=(kernel_size - 1) // 2)
+        x = h + res
+    return x
+
+
+def apply_vocoder(params: dict, cfg: VocoderConfig, spectrogram: jnp.ndarray) -> jnp.ndarray:
+    """``spectrogram``: ``[B, T, model_in_dim]`` log-mel -> waveform
+    ``[B, T * prod(upsample_rates)]`` float32 in [-1, 1]."""
+    x = spectrogram
+    if cfg.normalize_before:
+        x = (x - params["mean"].astype(x.dtype)) / params["scale"].astype(x.dtype)
+    num_kernels = len(cfg.resblock_kernel_sizes)
+    h = conv1d(params["conv_pre"], x, padding=3)
+    for i, (rate, ksize) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
+        h = _leaky(h, cfg.leaky_relu_slope)
+        h = conv_transpose1d(params["upsampler"][str(i)], h, stride=rate, padding=(ksize - rate) // 2)
+        acc = None
+        for j, (k, dil) in enumerate(zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes)):
+            r = _apply_resblock(params["resblocks"][str(i * num_kernels + j)], h, k, dil, cfg.leaky_relu_slope)
+            acc = r if acc is None else acc + r
+        h = acc / num_kernels
+    h = _leaky(h, 0.01)  # torch leaky_relu default slope on the output stage
+    h = conv1d(params["conv_post"], h, padding=3)
+    h = jnp.tanh(h)
+    return h[..., 0]
