@@ -1,0 +1,17 @@
+from audioldm_tpu.lora.adapter import (
+    export_peft_state_dict,
+    import_peft_state_dict,
+    init_lora,
+    iter_lora_paths,
+    merge_lora,
+    unmerge_lora,
+)
+
+__all__ = [
+    "export_peft_state_dict",
+    "import_peft_state_dict",
+    "init_lora",
+    "iter_lora_paths",
+    "merge_lora",
+    "unmerge_lora",
+]

@@ -1,0 +1,149 @@
+"""LoRA subsystem tests: math parity against the installed peft library (the
+reference's adapter engine, train_audioldm_lora.py:378-394), merge/unmerge
+equivalence, and PEFT state-dict round-trips."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from audioldm_tpu.config import LoRAConfig, UNetConfig
+from audioldm_tpu.lora import (
+    export_peft_state_dict,
+    import_peft_state_dict,
+    init_lora,
+    iter_lora_paths,
+    merge_lora,
+    unmerge_lora,
+)
+from audioldm_tpu.models import unet as unet_lib
+from audioldm_tpu.models.nn import attention, init_attention
+
+TINY_UNET = UNetConfig(
+    in_channels=4,
+    out_channels=4,
+    block_out_channels=(8, 16),
+    down_block_types=("CrossAttnDownBlock2D", "DownBlock2D"),
+    up_block_types=("UpBlock2D", "CrossAttnUpBlock2D"),
+    layers_per_block=1,
+    norm_num_groups=4,
+    attention_head_dim=2,
+    projection_class_embeddings_input_dim=6,
+)
+
+
+def test_peft_linear_parity(rng):
+    """Our unmerged LoRA path must equal peft's Linear LoRA layer with shared
+    weights (r=2, alpha=2, the reference's training config)."""
+    from peft import LoraConfig as PeftLoraConfig
+    from peft import get_peft_model
+
+    class Tiny(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.to_q = torch.nn.Linear(8, 8)
+
+        def forward(self, x):
+            return self.to_q(x)
+
+    torch.manual_seed(0)
+    base = Tiny()
+    peft_model = get_peft_model(
+        base, PeftLoraConfig(r=2, lora_alpha=2, init_lora_weights="gaussian", target_modules=["to_q"])
+    )
+    # give lora_B nonzero values so the delta path is exercised
+    with torch.no_grad():
+        for n, p in peft_model.named_parameters():
+            if "lora_B" in n:
+                p.normal_(0, 0.1)
+
+    sd = {k: v.detach().numpy() for k, v in peft_model.state_dict().items()}
+    lora_tree, rank = import_peft_state_dict(sd)
+    assert rank == 2
+    assert "to_q" in lora_tree
+
+    x = rng.standard_normal((3, 8)).astype(np.float32)
+    with torch.no_grad():
+        expected = peft_model(torch.from_numpy(x)).numpy()
+
+    w = base.to_q.weight.detach().numpy().T
+    b = base.to_q.bias.detach().numpy()
+    scale = 2.0 / 2.0
+    ours = x @ w + b + scale * (x @ np.asarray(lora_tree["to_q"]["a"]) @ np.asarray(lora_tree["to_q"]["b"]))
+    np.testing.assert_allclose(ours, expected, atol=1e-5)
+
+
+def test_unet_lora_targets_q_and_v():
+    params = unet_lib.init_unet(jax.random.PRNGKey(0), TINY_UNET)
+    cfg = LoRAConfig(r=2, lora_alpha=2, target_modules=("to_q", "to_v"))
+    paths = [p for p, _ in iter_lora_paths(params, cfg.target_modules)]
+    # tiny unet: 1 down attn + 1 mid attn + 2 up attns (layers_per_block+1),
+    # each with attn1+attn2, each contributing to_q and to_v
+    leaves = {p[-1] for p in paths}
+    assert leaves == {"to_q", "to_v"}
+    assert len(paths) == 4 * 2 * 2
+    lora = init_lora(jax.random.PRNGKey(1), params, cfg)
+    # B zero-init -> adapter starts as a no-op
+    x = jnp.ones((1, 8, 8, 4))
+    out_base = unet_lib.apply_unet(params, TINY_UNET, x, jnp.asarray([3]), class_labels=jnp.ones((1, 6)))
+    out_lora = unet_lib.apply_unet(
+        params, TINY_UNET, x, jnp.asarray([3]), class_labels=jnp.ones((1, 6)), lora=lora, lora_scale=cfg.scale
+    )
+    np.testing.assert_allclose(np.asarray(out_base), np.asarray(out_lora), atol=1e-6)
+
+
+def test_merge_equals_unmerged_apply(rng):
+    params = unet_lib.init_unet(jax.random.PRNGKey(0), TINY_UNET)
+    cfg = LoRAConfig(r=2, lora_alpha=4)
+    lora = init_lora(jax.random.PRNGKey(1), params, cfg)
+    # randomize B so the adapter does something
+    lora = jax.tree.map(lambda x: x + 0.05 * jax.random.normal(jax.random.PRNGKey(2), x.shape), lora)
+
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 4)).astype(np.float32))
+    t = jnp.asarray([3, 7])
+    c = jnp.asarray(rng.standard_normal((2, 6)).astype(np.float32))
+
+    out_unmerged = unet_lib.apply_unet(params, TINY_UNET, x, t, class_labels=c, lora=lora, lora_scale=cfg.scale)
+    merged = merge_lora(params, lora, cfg)
+    out_merged = unet_lib.apply_unet(merged, TINY_UNET, x, t, class_labels=c)
+    np.testing.assert_allclose(np.asarray(out_unmerged), np.asarray(out_merged), atol=5e-5)
+
+    # unmerge restores the base weights
+    restored = unmerge_lora(merged, lora, cfg)
+    for (pa, va), (pb, vb) in zip(
+        jax.tree_util.tree_flatten_with_path(params)[0], jax.tree_util.tree_flatten_with_path(restored)[0]
+    ):
+        np.testing.assert_allclose(np.asarray(va), np.asarray(vb), atol=1e-5)
+
+
+def test_peft_export_import_roundtrip():
+    params = unet_lib.init_unet(jax.random.PRNGKey(0), TINY_UNET)
+    cfg = LoRAConfig(r=2, lora_alpha=2)
+    lora = init_lora(jax.random.PRNGKey(1), params, cfg)
+    sd = export_peft_state_dict(lora)
+    assert all(k.startswith("base_model.model.") for k in sd)
+    assert any("lora_A.weight" in k for k in sd)
+    back, rank = import_peft_state_dict(sd)
+    assert rank == 2
+    flat_a = jax.tree_util.tree_flatten_with_path(lora)[0]
+    flat_b = jax.tree_util.tree_flatten_with_path(back)[0]
+    assert len(flat_a) == len(flat_b)
+    for (pa, va), (pb, vb) in zip(flat_a, flat_b):
+        assert pa == pb
+        np.testing.assert_allclose(np.asarray(va), np.asarray(vb), atol=1e-6)
+
+
+def test_import_accelerate_save_state_format():
+    """accelerator.save_state writes keys with '.default.' adapter names
+    (the format generate_audio.py:32-33 loads)."""
+    a = np.random.default_rng(0).standard_normal((2, 8)).astype(np.float32)
+    b = np.zeros((8, 2), np.float32)
+    sd = {
+        "base_model.model.down_blocks.0.attentions.0.transformer_blocks.0.attn1.to_q.lora_A.default.weight": a,
+        "base_model.model.down_blocks.0.attentions.0.transformer_blocks.0.attn1.to_q.lora_B.default.weight": b,
+    }
+    tree, rank = import_peft_state_dict(sd)
+    assert rank == 2
+    node = tree["down_blocks"]["0"]["attentions"]["0"]["transformer_blocks"]["0"]["attn1"]["to_q"]
+    np.testing.assert_allclose(np.asarray(node["a"]), a.T)
