@@ -1,0 +1,242 @@
+"""Text -> audio generation pipeline, fully fused under one jit.
+
+Reference behavior (diffusers ``AudioLDMPipeline.__call__`` as driven by the
+repo — app.py:14, generate_audio.py:47-52, train_audioldm_lora.py:142; stage
+list reconstructed in SURVEY.md §3.2):
+
+  tokenize -> CLAP text encode -> pooled 512-d embedding, L2-normalized ->
+  CFG (uncond = "") -> gaussian latents -> DDIM loop -> VAE decode ->
+  HiFi-GAN vocoder -> 16 kHz float waveform.
+
+TPU-first re-design:
+- the entire pipeline after host tokenization is ONE jit-compiled function:
+  no host round-trips between stages;
+- the S-step denoise loop is a single ``lax.scan`` whose body runs the UNet
+  once on a CFG-folded batch of 2B (uncond rows stacked with cond rows);
+- timestep tables are device constants; shapes are static (steps and clip
+  length are compile-time constants);
+- bf16 compute through the UNet/VAE/vocoder with fp32 scheduler math.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from audioldm_tpu.config import (
+    ClapTextConfig,
+    DDIMConfig,
+    MelConfig,
+    UNetConfig,
+    VAEConfig,
+    VocoderConfig,
+)
+from audioldm_tpu.models import vae as vae_lib
+from audioldm_tpu.models.clap_text import apply_clap_text, init_clap_text
+from audioldm_tpu.models.scheduler import ddim_step, inference_timesteps, make_schedule
+from audioldm_tpu.models.unet import apply_unet, init_unet
+from audioldm_tpu.models.vocoder import apply_vocoder, init_vocoder
+
+
+class AudioLDMModules(NamedTuple):
+    """Bundle of all submodel params + configs (the pipeline's 'self')."""
+
+    unet: dict
+    vae: dict
+    text_encoder: dict
+    vocoder: dict
+    unet_cfg: UNetConfig
+    vae_cfg: VAEConfig
+    text_cfg: ClapTextConfig
+    vocoder_cfg: VocoderConfig
+    ddim_cfg: DDIMConfig
+
+    @classmethod
+    def from_checkpoint(cls, checkpoint_dir: str) -> "AudioLDMModules":
+        from audioldm_tpu.ckpt import load_audioldm_checkpoint
+
+        bundle = load_audioldm_checkpoint(checkpoint_dir)
+        p, c = bundle["params"], bundle["configs"]
+        return cls(
+            unet=p["unet"],
+            vae=p["vae"],
+            text_encoder=p["text_encoder"],
+            vocoder=p["vocoder"],
+            unet_cfg=c["unet"],
+            vae_cfg=c["vae"],
+            text_cfg=c["text_encoder"],
+            vocoder_cfg=c["vocoder"],
+            ddim_cfg=c["scheduler"],
+        )
+
+
+def random_modules(
+    key,
+    unet_cfg: UNetConfig = UNetConfig(),
+    vae_cfg: VAEConfig = VAEConfig(),
+    text_cfg: ClapTextConfig = ClapTextConfig(),
+    vocoder_cfg: VocoderConfig = VocoderConfig(),
+    ddim_cfg: DDIMConfig = DDIMConfig(),
+) -> AudioLDMModules:
+    """Random-init bundle (tests / benches without checkpoint files)."""
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    return AudioLDMModules(
+        unet=init_unet(k1, unet_cfg),
+        vae=vae_lib.init_vae(k2, vae_cfg),
+        text_encoder=init_clap_text(k3, text_cfg),
+        vocoder=init_vocoder(k4, vocoder_cfg),
+        unet_cfg=unet_cfg,
+        vae_cfg=vae_cfg,
+        text_cfg=text_cfg,
+        vocoder_cfg=vocoder_cfg,
+        ddim_cfg=ddim_cfg,
+    )
+
+
+def encode_prompt(modules: AudioLDMModules, input_ids: jnp.ndarray, attention_mask: jnp.ndarray) -> jnp.ndarray:
+    """Pooled projected text embedding, L2-normalized — what the UNet's
+    class-embedding path consumes (reference: train_audioldm_lora.py:513-524,
+    pipeline stage cf. SURVEY.md §3.2)."""
+    out = apply_clap_text(modules.text_encoder, modules.text_cfg, input_ids, attention_mask)
+    emb = out["text_embeds"]
+    return emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
+
+
+def latent_shape(modules: AudioLDMModules, batch: int, audio_length_in_s: float) -> tuple[int, int, int, int]:
+    """NHWC latent geometry for a clip length. Mel frames = seconds *
+    sr / hop; rounded up to a multiple of the VAE downsampling factor."""
+    voc = modules.vocoder_cfg
+    hop = int(np.prod(voc.upsample_rates))
+    n_frames = int(audio_length_in_s * voc.sampling_rate / hop)
+    factor = 2 ** (len(modules.vae_cfg.block_out_channels) - 1)
+    n_frames = int(math.ceil(n_frames / factor) * factor)
+    return (batch, n_frames // factor, voc.model_in_dim // factor, modules.vae_cfg.latent_channels)
+
+
+def denoise(
+    modules: AudioLDMModules,
+    latents: jnp.ndarray,
+    cond_embeds: jnp.ndarray,
+    uncond_embeds: Optional[jnp.ndarray],
+    num_inference_steps: int,
+    guidance_scale: float,
+    lora: Optional[dict] = None,
+    lora_scale: float = 1.0,
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    """CFG-batched DDIM loop as one ``lax.scan``."""
+    schedule = make_schedule(modules.ddim_cfg)
+    ts = inference_timesteps(modules.ddim_cfg, num_inference_steps)
+    step_ratio = modules.ddim_cfg.num_train_timesteps // num_inference_steps
+    prev_ts = ts - step_ratio
+    ts_dev = jnp.asarray(ts)
+    prev_dev = jnp.asarray(prev_ts)
+
+    do_cfg = uncond_embeds is not None and guidance_scale != 1.0
+    if do_cfg:
+        embeds = jnp.concatenate([uncond_embeds, cond_embeds], axis=0)
+    else:
+        embeds = cond_embeds
+    b = latents.shape[0]
+
+    def body(carry, idx):
+        lat = carry
+        t = ts_dev[idx]
+        model_in = jnp.concatenate([lat, lat], axis=0) if do_cfg else lat
+        t_b = jnp.broadcast_to(t, (model_in.shape[0],))
+        eps = apply_unet(
+            modules.unet,
+            modules.unet_cfg,
+            model_in.astype(dtype),
+            t_b,
+            class_labels=embeds.astype(dtype),
+            lora=lora,
+            lora_scale=lora_scale,
+        ).astype(jnp.float32)
+        if do_cfg:
+            eps_u, eps_c = eps[:b], eps[b:]
+            eps = eps_u + guidance_scale * (eps_c - eps_u)
+        lat = ddim_step(schedule, eps, t, prev_dev[idx], lat)
+        return lat, None
+
+    latents, _ = jax.lax.scan(body, latents.astype(jnp.float32), jnp.arange(len(ts)))
+    return latents
+
+
+def generate(
+    modules: AudioLDMModules,
+    input_ids: jnp.ndarray,
+    attention_mask: jnp.ndarray,
+    uncond_ids: jnp.ndarray,
+    uncond_mask: jnp.ndarray,
+    rng: jax.Array,
+    num_inference_steps: int = 50,
+    audio_length_in_s: float = 10.0,
+    guidance_scale: float = 2.5,
+    lora: Optional[dict] = None,
+    lora_scale: float = 1.0,
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Full text->audio path. Returns waveform ``[B, samples]`` float32.
+
+    Defaults mirror the reference workloads: 50 DDIM steps / 10 s
+    (generate_audio.py:49-50), lib-default guidance 2.5 (SURVEY.md §2b).
+    """
+    b = input_ids.shape[0]
+    voc = modules.vocoder_cfg
+    hop = int(np.prod(voc.upsample_rates))
+    original_samples = int(audio_length_in_s * voc.sampling_rate)
+
+    cond = encode_prompt(modules, input_ids, attention_mask)
+    uncond = encode_prompt(modules, uncond_ids, uncond_mask)
+    if uncond.shape[0] == 1 and b > 1:
+        uncond = jnp.broadcast_to(uncond, cond.shape)
+
+    shape = latent_shape(modules, b, audio_length_in_s)
+    latents = jax.random.normal(rng, shape, jnp.float32)
+
+    latents = denoise(
+        modules, latents, cond, uncond, num_inference_steps, guidance_scale,
+        lora=lora, lora_scale=lora_scale, dtype=dtype,
+    )
+
+    mel = vae_lib.decode(modules.vae, modules.vae_cfg, (latents / modules.vae_cfg.scaling_factor).astype(dtype))
+    wav = apply_vocoder(modules.vocoder, modules.vocoder_cfg, mel[..., 0].astype(jnp.float32))
+    return wav[:, :original_samples]
+
+
+def make_generate_fn(
+    modules: AudioLDMModules,
+    num_inference_steps: int = 50,
+    audio_length_in_s: float = 10.0,
+    guidance_scale: float = 2.5,
+    dtype=jnp.bfloat16,
+    with_lora: bool = False,
+):
+    """jit-compiled generation closure over the module bundle. Params are
+    donated-free closure constants; prompts/rng are the only runtime inputs."""
+    if with_lora:
+
+        @functools.partial(jax.jit, static_argnames=("lora_scale",))
+        def fn(input_ids, attention_mask, uncond_ids, uncond_mask, rng, lora, lora_scale=1.0):
+            return generate(
+                modules, input_ids, attention_mask, uncond_ids, uncond_mask, rng,
+                num_inference_steps, audio_length_in_s, guidance_scale,
+                lora=lora, lora_scale=lora_scale, dtype=dtype,
+            )
+
+        return fn
+
+    @jax.jit
+    def fn(input_ids, attention_mask, uncond_ids, uncond_mask, rng):
+        return generate(
+            modules, input_ids, attention_mask, uncond_ids, uncond_mask, rng,
+            num_inference_steps, audio_length_in_s, guidance_scale, dtype=dtype,
+        )
+
+    return fn

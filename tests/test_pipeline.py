@@ -1,0 +1,126 @@
+"""End-to-end pipeline tests on a tiny random-init model bundle
+(reference stage list: SURVEY.md §3.2; CFG folding per BASELINE north star)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from audioldm_tpu.config import (
+    ClapTextConfig,
+    DDIMConfig,
+    LoRAConfig,
+    UNetConfig,
+    VAEConfig,
+    VocoderConfig,
+)
+from audioldm_tpu.lora import init_lora, merge_lora
+from audioldm_tpu.pipeline import generate as _generate, encode_prompt as _encode_prompt
+from audioldm_tpu.pipeline.generate import denoise as _denoise
+from audioldm_tpu.pipeline.generate import AudioLDMModules, latent_shape, random_modules, make_generate_fn
+
+TINY_TEXT = ClapTextConfig(
+    vocab_size=64, hidden_size=16, num_hidden_layers=1, num_attention_heads=2,
+    intermediate_size=32, max_position_embeddings=40, projection_dim=8,
+)
+TINY_UNET = UNetConfig(
+    in_channels=4, out_channels=4, block_out_channels=(8, 16),
+    down_block_types=("CrossAttnDownBlock2D", "DownBlock2D"),
+    up_block_types=("UpBlock2D", "CrossAttnUpBlock2D"),
+    layers_per_block=1, norm_num_groups=4, attention_head_dim=2,
+    projection_class_embeddings_input_dim=8,
+)
+TINY_VAE = VAEConfig(
+    in_channels=1, out_channels=1, block_out_channels=(8, 16), layers_per_block=1,
+    latent_channels=4, norm_num_groups=4, scaling_factor=0.9,
+)
+TINY_VOC = VocoderConfig(
+    model_in_dim=8, upsample_initial_channel=16, upsample_rates=(2, 2),
+    upsample_kernel_sizes=(4, 4), resblock_kernel_sizes=(3,),
+    resblock_dilation_sizes=((1, 3),), sampling_rate=16000,
+)
+
+
+@pytest.fixture(scope="module")
+def modules():
+    return random_modules(
+        jax.random.PRNGKey(0),
+        unet_cfg=TINY_UNET, vae_cfg=TINY_VAE, text_cfg=TINY_TEXT, vocoder_cfg=TINY_VOC,
+        ddim_cfg=DDIMConfig(),
+    )
+
+
+def _prompts(b=1, n=6):
+    ids = jnp.full((b, n), 5, jnp.int32).at[:, 0].set(0)
+    mask = jnp.ones((b, n), jnp.int32)
+    u_ids = jnp.full((1, n), 1, jnp.int32).at[:, 0].set(0)
+    u_mask = jnp.ones((1, n), jnp.int32).at[:, 1:].set(0)
+    return ids, mask, u_ids, u_mask
+
+
+def test_latent_geometry(modules):
+    # hop = 4, sr = 16000; 0.01 s -> 40 frames -> /2 = 20 latent frames
+    shape = latent_shape(modules, 2, 0.01)
+    assert shape == (2, 20, 4, 4)
+
+
+def test_generate_shapes_and_determinism(modules):
+    ids, mask, u_ids, u_mask = _prompts()
+    wav1 = _generate(modules, ids, mask, u_ids, u_mask, jax.random.PRNGKey(7),
+                        num_inference_steps=3, audio_length_in_s=0.01, guidance_scale=2.5)
+    wav2 = _generate(modules, ids, mask, u_ids, u_mask, jax.random.PRNGKey(7),
+                        num_inference_steps=3, audio_length_in_s=0.01, guidance_scale=2.5)
+    assert wav1.shape == (1, 160)
+    np.testing.assert_array_equal(np.asarray(wav1), np.asarray(wav2))
+    assert np.all(np.isfinite(np.asarray(wav1)))
+    assert np.max(np.abs(np.asarray(wav1))) <= 1.0  # tanh output
+
+    wav3 = _generate(modules, ids, mask, u_ids, u_mask, jax.random.PRNGKey(8),
+                        num_inference_steps=3, audio_length_in_s=0.01, guidance_scale=2.5)
+    assert np.max(np.abs(np.asarray(wav1) - np.asarray(wav3))) > 1e-6  # rng matters
+
+
+def test_guidance_one_equals_cond_only(modules):
+    """g=1 must reduce to the conditional-only path (CFG folding sanity)."""
+    ids, mask, u_ids, u_mask = _prompts()
+    rng = jax.random.PRNGKey(3)
+    wav_g1 = _generate(modules, ids, mask, u_ids, u_mask, rng,
+                          num_inference_steps=2, audio_length_in_s=0.01, guidance_scale=1.0)
+
+    cond = _encode_prompt(modules, ids, mask)
+    shape = latent_shape(modules, 1, 0.01)
+    latents = jax.random.normal(rng, shape, jnp.float32)
+    lat = _denoise(modules, latents, cond, None, 2, 1.0)
+    from audioldm_tpu.models import vae as vae_lib
+    from audioldm_tpu.models.vocoder import apply_vocoder
+
+    mel = vae_lib.decode(modules.vae, modules.vae_cfg, lat / modules.vae_cfg.scaling_factor)
+    wav_manual = apply_vocoder(modules.vocoder, modules.vocoder_cfg, mel[..., 0])[:, :160]
+    np.testing.assert_allclose(np.asarray(wav_g1), np.asarray(wav_manual), atol=1e-5)
+
+
+def test_generate_with_merged_lora_equals_unmerged(modules):
+    """Merged-at-load inference must equal the unmerged adapter path through
+    the full pipeline (BASELINE config 2)."""
+    ids, mask, u_ids, u_mask = _prompts()
+    cfg = LoRAConfig(r=2, lora_alpha=4)
+    lora = init_lora(jax.random.PRNGKey(1), modules.unet, cfg)
+    lora = jax.tree.map(lambda x: x + 0.03 * jax.random.normal(jax.random.PRNGKey(2), x.shape), lora)
+
+    rng = jax.random.PRNGKey(11)
+    wav_unmerged = _generate(modules, ids, mask, u_ids, u_mask, rng,
+                                num_inference_steps=2, audio_length_in_s=0.01,
+                                guidance_scale=2.0, lora=lora, lora_scale=cfg.scale)
+    merged_modules = modules._replace(unet=merge_lora(modules.unet, lora, cfg))
+    wav_merged = _generate(merged_modules, ids, mask, u_ids, u_mask, rng,
+                              num_inference_steps=2, audio_length_in_s=0.01, guidance_scale=2.0)
+    np.testing.assert_allclose(np.asarray(wav_unmerged), np.asarray(wav_merged), atol=2e-4)
+
+
+def test_jit_generate_fn(modules):
+    ids, mask, u_ids, u_mask = _prompts(b=2)
+    fn = make_generate_fn(modules, num_inference_steps=2, audio_length_in_s=0.01,
+                              guidance_scale=2.5, dtype=jnp.float32)
+    wav = fn(ids, mask, u_ids, u_mask, jax.random.PRNGKey(0))
+    assert wav.shape == (2, 160)
+    assert np.all(np.isfinite(np.asarray(wav)))
