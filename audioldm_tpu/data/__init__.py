@@ -1,0 +1,4 @@
+from audioldm_tpu.data.dataset import AudioCaptionDataset, DataPipeline
+from audioldm_tpu.data.tokenizer import RobertaBPETokenizer, load_tokenizer
+
+__all__ = ["AudioCaptionDataset", "DataPipeline", "RobertaBPETokenizer", "load_tokenizer"]

@@ -1,0 +1,279 @@
+"""Dataset ingestion + feature-extraction pipeline.
+
+Behavioral spec (reference ``HfAudioDataset``, script/data/datasets.py:33-521):
+per item — random 10.24 s segment with <=10 silence retries, resample to
+16 kHz, normalize (mean-center, peak-norm, x0.5), zero-pad to 163,840
+samples, STFT+log-mel to [1024, 64], RoBERTa-tokenize the caption to
+max_length 512; plugin add-ons selected by name (datasets.py:46, registry in
+script/data/dataset_plugin.py).
+
+TPU-first re-design (BASELINE config 3 "batch data prep"):
+- host side does only the cheap, irregular work (segmenting, caption pick,
+  tokenization) in numpy;
+- the regular DSP (resample, STFT, mel, log) runs **batched on device** via
+  one jit — the per-item torch DSP in dataloader workers becomes a single
+  fused XLA program over the whole batch;
+- randomness is explicit (seeded numpy Generator), unlike the reference's
+  unseeded torch RNG (datasets.py:187-188,426-428) — documented deviation.
+
+The plugin registry keeps the reference's add-on concept with the add-ons
+that make sense TPU-side (waveform_rs_48k, relative bandwidth, bandwidth
+extra channel, fbank); phoneme/g2p add-ons need external lexica and are
+intentionally out of scope (dataset_plugin.py:30-78,148-342).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Iterator, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from audioldm_tpu.config import MelConfig
+from audioldm_tpu.ops import log_mel_spectrogram, resample
+from audioldm_tpu.ops.mel import normalize_wav, pad_wav
+from audioldm_tpu.data.wavio import read_wav
+
+# ---------------------------------------------------------------------------
+# Plugin registry (reference: eval-by-name at datasets.py:46 — replaced with
+# an explicit registry; no eval()).
+# ---------------------------------------------------------------------------
+
+PLUGINS: dict[str, Callable] = {}
+
+
+def register_plugin(name: str):
+    def deco(fn):
+        PLUGINS[name] = fn
+        return fn
+
+    return deco
+
+
+@register_plugin("waveform_rs_48k")
+def waveform_rs_48k(item: dict, cfg: MelConfig) -> dict:
+    """48 kHz resample add-on (reference: dataset_plugin.py:134-145)."""
+    wav = jnp.asarray(item["waveform"])
+    return {"waveform_48k": np.asarray(resample(wav, cfg.sampling_rate, 48000))}
+
+
+@register_plugin("calculate_relative_bandwidth")
+def calculate_relative_bandwidth(item: dict, cfg: MelConfig) -> dict:
+    """5th/95th-percentile frequency band of STFT energy, scaled to [0,1000)
+    (reference: dataset_plugin.py:81-100)."""
+    stft = np.asarray(item["stft"])  # [T, F]
+    freq_dim = stft.shape[-1]
+    dist = np.cumsum(stft.sum(axis=0))
+    total = dist[-1]
+    lower = int(np.argmin(np.abs(total * 0.05 - dist)))
+    higher = int(np.argmin(np.abs(total * 0.95 - dist)))
+    return {
+        "freq_energy_percentile": np.asarray(
+            [int(lower / freq_dim * 1000), int(higher / freq_dim * 1000)], np.int64
+        )
+    }
+
+
+@register_plugin("calculate_mel_spec_relative_bandwidth_as_extra_channel")
+def mel_bandwidth_extra_channel(item: dict, cfg: MelConfig, latent_t_size: int = 256, latent_f_size: int = 16) -> dict:
+    """Latent-resolution band mask conditioning channel
+    (reference: dataset_plugin.py:103-131)."""
+    mel = np.exp(np.clip(np.asarray(item["log_mel_spec"]), None, 10))
+    freq_dim = mel.shape[-1]
+    dist = np.cumsum(mel.sum(axis=0))
+    total = dist[-1]
+    lower = int(latent_f_size * (np.argmin(np.abs(total * 0.05 - dist)) / freq_dim))
+    higher = int(latent_f_size * (np.argmin(np.abs(total * 0.95 - dist)) / freq_dim))
+    mask = np.zeros((latent_t_size, latent_f_size), np.float32)
+    mask[:, lower:higher] = 1.0
+    return {
+        "mel_spec_bandwidth_cond_extra_channel": mask,
+        "freq_energy_percentile": np.asarray([lower, higher], np.int64),
+    }
+
+
+@register_plugin("extract_kaldi_fbank_feature")
+def extract_fbank(item: dict, cfg: MelConfig) -> dict:
+    """128-bin log filterbank of the waveform (capability of
+    dataset_plugin.py:345-385; computed with our own mel front-end rather
+    than Kaldi's — documented approximation)."""
+    fb_cfg = MelConfig(
+        sampling_rate=cfg.sampling_rate, filter_length=cfg.filter_length,
+        hop_length=cfg.hop_length, win_length=cfg.win_length, n_mel=128,
+        mel_fmin=0.0, mel_fmax=cfg.sampling_rate / 2, duration=cfg.duration,
+    )
+    mel = log_mel_spectrogram(jnp.asarray(item["waveform"])[None], fb_cfg)[0]
+    return {"ta_kaldi_fbank": np.asarray(mel)}
+
+
+# ---------------------------------------------------------------------------
+# Dataset
+# ---------------------------------------------------------------------------
+
+
+class AudioCaptionDataset:
+    """Uniform view over (waveform, sr, caption) triples from:
+    - a HuggingFace dataset (items with ``audio.array``/``audio.sampling_rate``
+      /``caption`` — the reference's ingestion, datasets.py:95-106),
+    - an in-memory list of dicts,
+    - a directory of ``*.wav`` + same-stem ``*.txt`` caption files (the layout
+      data/dataset/make_audio_caption.py produces)."""
+
+    def __init__(self, source):
+        self.items: list[dict] = []
+        if isinstance(source, str):
+            for name in sorted(os.listdir(source)):
+                if not name.endswith(".wav"):
+                    continue
+                stem = os.path.splitext(name)[0]
+                cap_path = os.path.join(source, stem + ".txt")
+                caption = open(cap_path).read().strip() if os.path.exists(cap_path) else ""
+                self.items.append({"path": os.path.join(source, name), "caption": caption})
+        elif hasattr(source, "features"):  # HF dataset
+            for item in source:
+                self.items.append(
+                    {
+                        "wav": np.asarray(item["audio"]["array"], np.float32),
+                        "sr": int(item["audio"]["sampling_rate"]),
+                        "caption": item.get("caption", ""),
+                    }
+                )
+        elif isinstance(source, (list, tuple)):
+            self.items = list(source)
+        else:
+            raise ValueError(f"unsupported dataset source: {type(source)}")
+
+    def __len__(self) -> int:
+        return len(self.items)
+
+    def get_raw(self, i: int) -> tuple[np.ndarray, int, str]:
+        item = self.items[i]
+        if "path" in item:
+            wav, sr = read_wav(item["path"])
+        else:
+            wav, sr = np.asarray(item["wav"], np.float32), item["sr"]
+        return wav, sr, item.get("caption", "")
+
+
+def random_segment(wav: np.ndarray, target: int, rng: np.random.Generator, retries: int = 10) -> tuple[np.ndarray, int]:
+    """Random segment with silence retry (reference: datasets.py:179-195)."""
+    n = wav.shape[-1]
+    if n <= target:
+        return wav, 0
+    start = 0
+    for _ in range(retries):
+        start = int(rng.uniform(0, n - target))
+        if np.max(np.abs(wav[start : start + target])) > 1e-4:
+            break
+    return wav[start : start + target], start
+
+
+def trim_silence(wav: np.ndarray, threshold: float = 1e-4, chunk: int = 1000) -> np.ndarray:
+    """Leading/trailing silence trim — the reference *intends* this but the
+    ``trim_wav`` attribute shadows the method so it never runs
+    (datasets.py:44 vs :214; SURVEY.md §0). Implemented, default off to match
+    reference defaults."""
+    if np.max(np.abs(wav)) < threshold:
+        return wav
+    n = len(wav)
+    start = 0
+    while start + chunk < n and np.max(np.abs(wav[start : start + chunk])) < threshold:
+        start += chunk
+    end = n
+    while end - chunk > 0 and np.max(np.abs(wav[end - chunk : end])) < threshold:
+        end -= chunk
+    return wav[start:end]
+
+
+class DataPipeline:
+    """Batched host->device feature pipeline producing training batches
+    {log_mel_spec [B,1024,64,1], input_ids, attention_mask} (the reference's
+    collate output, train_audioldm_lora.py:415-420)."""
+
+    def __init__(
+        self,
+        dataset: AudioCaptionDataset,
+        tokenizer,
+        mel_cfg: MelConfig = MelConfig(),
+        add_ons: Sequence[str] = (),
+        trim: bool = False,
+        max_text_length: int = 512,
+    ):
+        self.dataset = dataset
+        self.tokenizer = tokenizer
+        self.mel_cfg = mel_cfg
+        self.add_ons = [PLUGINS[a] for a in add_ons]
+        self.trim = trim
+        self.max_text_length = max_text_length
+        cfg = mel_cfg
+        self._mel_fn = jax.jit(lambda w: log_mel_spectrogram(w, cfg, return_stft=True))
+
+    def prepare_waveform(self, wav: np.ndarray, sr: int, rng: np.random.Generator) -> tuple[np.ndarray, int]:
+        """Host prep: segment -> resample -> normalize -> (trim) -> pad
+        (reference order: datasets.py:494-521)."""
+        cfg = self.mel_cfg
+        seg, start = random_segment(wav, int(sr * cfg.duration), rng)
+        if sr != cfg.sampling_rate:
+            seg = np.asarray(resample(jnp.asarray(seg), sr, cfg.sampling_rate))
+        seg = normalize_wav(seg)
+        if self.trim:
+            seg = trim_silence(seg)
+        return pad_wav(seg, cfg.num_samples), start
+
+    def make_batch(self, indices: Sequence[int], rng: np.random.Generator, with_plugins: bool = True) -> dict:
+        wavs, captions, starts = [], [], []
+        for i in indices:
+            wav, sr, caption = self.dataset.get_raw(i)
+            prepared, start = self.prepare_waveform(wav, sr, rng)
+            wavs.append(prepared)
+            captions.append(caption)
+            starts.append(start)
+        waveforms = np.stack(wavs)  # [B, num_samples]
+        log_mel, stft = self._mel_fn(jnp.asarray(waveforms))
+        tok = self.tokenizer(captions, max_length=self.max_text_length)
+        batch = {
+            "log_mel_spec": log_mel[..., None],  # NHWC
+            "stft": stft,
+            "waveform": waveforms,
+            "input_ids": jnp.asarray(tok["input_ids"]),
+            "attention_mask": jnp.asarray(tok["attention_mask"]),
+            "random_start": np.asarray(starts),
+            "duration": self.mel_cfg.duration,
+            "sampling_rate": self.mel_cfg.sampling_rate,
+        }
+        if with_plugins and self.add_ons:
+            log_mel_np, stft_np = np.asarray(log_mel), np.asarray(stft)
+            extras: dict[str, list] = {}
+            for b in range(len(indices)):
+                item = {
+                    "waveform": waveforms[b],
+                    "log_mel_spec": log_mel_np[b],
+                    "stft": stft_np[b],
+                }
+                for fn in self.add_ons:
+                    for k, v in fn(item, self.mel_cfg).items():
+                        extras.setdefault(k, []).append(v)
+            for k, v in extras.items():
+                batch[k] = np.stack(v)
+        return batch
+
+    def batches(
+        self,
+        batch_size: int,
+        rng: np.random.Generator,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        epochs: Optional[int] = None,
+    ) -> Iterator[dict]:
+        epoch = 0
+        n = len(self.dataset)
+        while epochs is None or epoch < epochs:
+            order = rng.permutation(n) if shuffle else np.arange(n)
+            for i in range(0, n - (batch_size - 1 if drop_last else 0), batch_size):
+                idx = order[i : i + batch_size]
+                if len(idx) == 0:
+                    continue
+                yield self.make_batch(list(idx), rng)
+            epoch += 1

@@ -1,0 +1,74 @@
+"""Headline benchmark: wall-clock per 10 s clip at 50 DDIM steps on one TPU
+chip (BASELINE.md north star: < 1 s on v5e-8; the reference publishes no
+latency numbers — SURVEY.md §6).
+
+Runs the full jit-fused text->audio pipeline (CLAP text encode -> CFG-batched
+50-step DDIM lax.scan over the full-size audioldm-s UNet -> VAE decode ->
+HiFi-GAN vocoder) at the reference's flagship geometry: 10.24 s clip
+(1024 mel frames -> 256x16x8 latents), bf16 compute. Weights are random-init
+(zero-egress environment: the real checkpoint cannot be downloaded; FLOP/
+byte profile is identical).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline`` = target_seconds / measured_seconds vs the 1.0 s/clip north
+star (>1.0 means faster than target).
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from audioldm_tpu.pipeline.generate import make_generate_fn, random_modules
+
+    steps = 50
+    seconds = 10.24
+    guidance = 2.5
+
+    modules = random_modules(jax.random.PRNGKey(0))
+    # bf16 weights for the big submodels; scheduler math stays fp32
+    modules = modules._replace(
+        unet=jax.tree.map(lambda x: x.astype(jnp.bfloat16), modules.unet),
+        vae=jax.tree.map(lambda x: x.astype(jnp.bfloat16), modules.vae),
+    )
+
+    fn = make_generate_fn(
+        modules, num_inference_steps=steps, audio_length_in_s=seconds,
+        guidance_scale=guidance, dtype=jnp.bfloat16,
+    )
+
+    ids = jnp.full((1, 512), 5, jnp.int32).at[:, 0].set(0)
+    mask = jnp.ones((1, 512), jnp.int32)
+    u_ids = jnp.full((1, 512), 1, jnp.int32).at[:, 0].set(0)
+    u_mask = jnp.zeros((1, 512), jnp.int32).at[:, 0].set(1)
+
+    # compile + warmup
+    wav = fn(ids, mask, u_ids, u_mask, jax.random.PRNGKey(0))
+    wav.block_until_ready()
+
+    iters = 5
+    t0 = time.perf_counter()
+    for i in range(iters):
+        wav = fn(ids, mask, u_ids, u_mask, jax.random.PRNGKey(i))
+    wav.block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+
+    target = 1.0  # BASELINE.json north star: <1 s / 10 s clip @ 50 steps
+    print(
+        json.dumps(
+            {
+                "metric": "seconds_per_10s_clip_50_ddim_steps",
+                "value": round(dt, 4),
+                "unit": "s",
+                "vs_baseline": round(target / dt, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,154 @@
+"""Data layer tests: vendored BPE vs the Rust tokenizers wheel, wav I/O
+round-trips, and the batched feature pipeline (reference behaviors:
+datasets.py:128-134 tokenization, :174-212 prep, :301-367 features)."""
+
+import numpy as np
+import pytest
+
+from audioldm_tpu.config import MelConfig
+from audioldm_tpu.data.dataset import (
+    AudioCaptionDataset,
+    DataPipeline,
+    random_segment,
+    trim_silence,
+)
+from audioldm_tpu.data.tokenizer import RobertaBPETokenizer
+from audioldm_tpu.data.wavio import read_wav, slice_wav, write_wav
+
+SMALL_MEL = MelConfig(duration=0.32)  # 5120 samples -> 32 frames
+
+
+@pytest.fixture(scope="module")
+def bpe_files(tmp_path_factory):
+    """Train a tiny byte-level BPE with the Rust lib; both tokenizers load
+    the same files."""
+    from tokenizers.implementations import ByteLevelBPETokenizer
+
+    d = tmp_path_factory.mktemp("bpe")
+    corpus = d / "corpus.txt"
+    corpus.write_text(
+        "hip hop music with heavy bass and drums\n"
+        "a boom bap beat with punchy kick drum patterns\n"
+        "groovy instrumental track, old-school vibe 123\n" * 20
+    )
+    tok = ByteLevelBPETokenizer()
+    tok.train(
+        [str(corpus)],
+        vocab_size=300,
+        min_frequency=1,
+        special_tokens=["<s>", "<pad>", "</s>", "<unk>", "<mask>"],
+    )
+    tok.save_model(str(d))
+    return str(d / "vocab.json"), str(d / "merges.txt")
+
+
+def test_vendored_bpe_matches_rust(bpe_files):
+    from tokenizers.implementations import ByteLevelBPETokenizer
+
+    vocab, merges = bpe_files
+    rust = ByteLevelBPETokenizer(vocab, merges)
+    ours = RobertaBPETokenizer.from_files(vocab, merges)
+    for text in [
+        "hip hop music",
+        "a boom bap beat with 808s!",
+        "  spaces   and\tunusual\nwhitespace",
+        "UPPER lower MiXeD 42",
+        "unicode: café ♪",
+    ]:
+        assert ours.encode_text(text) == rust.encode(text).ids, text
+
+
+def test_tokenizer_call_pads_and_truncates(bpe_files):
+    vocab, merges = bpe_files
+    tok = RobertaBPETokenizer.from_files(vocab, merges)
+    out = tok(["hip hop music", "a"], max_length=16)
+    assert out["input_ids"].shape == (2, 16)
+    assert out["input_ids"][0, 0] == tok.bos_token_id
+    assert out["attention_mask"].sum(axis=1)[1] < 16
+    # round-trip
+    assert "hip hop music" in tok.decode(out["input_ids"][0])
+    long = tok("word " * 100, max_length=8)
+    assert long["input_ids"].shape == (1, 8)
+    assert long["input_ids"][0, -1] == tok.eos_token_id
+
+
+def test_wav_roundtrip(tmp_path, rng):
+    x = rng.uniform(-0.9, 0.9, 8000).astype(np.float32)
+    p = str(tmp_path / "a.wav")
+    write_wav(p, x, 16000)
+    y, sr = read_wav(p)
+    assert sr == 16000
+    # half-LSB rounding + 32767-vs-32768 scale: bounded by ~4.5e-5
+    np.testing.assert_allclose(y, x, atol=5e-5)
+
+
+def test_slice_wav(tmp_path, rng):
+    x = (rng.standard_normal(16000 * 3) * 0.3).astype(np.float32)
+    p = str(tmp_path / "long.wav")
+    write_wav(p, x, 16000)
+    outs = slice_wav(p, str(tmp_path / "segs"), segment_seconds=1.0)
+    assert len(outs) == 3
+    seg, sr = read_wav(outs[1])
+    assert len(seg) == 16000
+
+
+def test_random_segment_silence_retry():
+    rng = np.random.default_rng(0)
+    wav = np.zeros(10000, np.float32)
+    wav[8000:9000] = 0.5  # only one non-silent region
+    hits = 0
+    for _ in range(20):
+        seg, start = random_segment(wav, 1000, rng)
+        if np.max(np.abs(seg)) > 1e-4:
+            hits += 1
+    assert hits > 10  # retry raises the hit rate far above the 10% base rate
+
+
+def test_trim_silence():
+    wav = np.concatenate([np.zeros(3000), np.full(2000, 0.3), np.zeros(3000)]).astype(np.float32)
+    out = trim_silence(wav)
+    assert len(out) < len(wav)
+    assert np.max(np.abs(out)) == pytest.approx(0.3)
+
+
+def test_pipeline_batch_shapes(bpe_files, rng):
+    vocab, merges = bpe_files
+    tok = RobertaBPETokenizer.from_files(vocab, merges)
+    items = [
+        {"wav": (rng.standard_normal(24000) * 0.4).astype(np.float32), "sr": 24000, "caption": "hip hop music"},
+        {"wav": (rng.standard_normal(8000) * 0.4).astype(np.float32), "sr": 16000, "caption": "boom bap beat"},
+    ]
+    ds = AudioCaptionDataset(items)
+    pipe = DataPipeline(ds, tok, SMALL_MEL, add_ons=("calculate_relative_bandwidth",), max_text_length=16)
+    batch = pipe.make_batch([0, 1], np.random.default_rng(0))
+    assert batch["log_mel_spec"].shape == (2, 32, 64, 1)
+    assert batch["stft"].shape == (2, 32, 512)
+    assert batch["waveform"].shape == (2, SMALL_MEL.num_samples)
+    assert batch["input_ids"].shape == (2, 16)
+    assert batch["freq_energy_percentile"].shape == (2, 2)
+    assert np.all(np.isfinite(np.asarray(batch["log_mel_spec"])))
+    # normalize_wav caps amplitude at 0.5 (datasets.py:174-177)
+    assert np.max(np.abs(batch["waveform"])) <= 0.5 + 1e-6
+
+
+def test_pipeline_iterator(bpe_files, rng):
+    vocab, merges = bpe_files
+    tok = RobertaBPETokenizer.from_files(vocab, merges)
+    items = [
+        {"wav": (rng.standard_normal(6000) * 0.4).astype(np.float32), "sr": 16000, "caption": f"clip {i}"}
+        for i in range(5)
+    ]
+    pipe = DataPipeline(AudioCaptionDataset(items), tok, SMALL_MEL, max_text_length=8)
+    batches = list(pipe.batches(2, np.random.default_rng(0), epochs=1))
+    assert len(batches) == 2  # drop_last
+    assert batches[0]["log_mel_spec"].shape[0] == 2
+
+
+def test_wav_dir_dataset(tmp_path, bpe_files, rng):
+    for i in range(2):
+        write_wav(str(tmp_path / f"c{i}.wav"), (rng.standard_normal(6000) * 0.2).astype(np.float32), 16000)
+        (tmp_path / f"c{i}.txt").write_text(f"caption {i}")
+    ds = AudioCaptionDataset(str(tmp_path))
+    assert len(ds) == 2
+    wav, sr, cap = ds.get_raw(1)
+    assert sr == 16000 and cap == "caption 1" and len(wav) == 6000
