@@ -1,0 +1,171 @@
+"""Multi-LoRA serving engine.
+
+BASELINE config 5: batched multi-prompt generation with per-request adapter
+hot-swap, data-parallel over ICI. The reference has only the single-adapter
+merge script (script/inference/generate_audio.py:11-59); this engine is the
+production generalization called for by the BASELINE north star.
+
+Design:
+- ``AdapterBank``: K adapters stacked into one pytree (leaf leading dim K),
+  slot 0 reserved for the zero adapter (base model). Hot-swap = one device
+  gather of (A, B) rows per request — no weight copies, no recompilation.
+- Batched unmerged evaluation: gathered per-request adapters ``[B, in, r]``
+  ride through the same attention LoRA path (batched matmul) used in
+  training, so a single jit serves any mix of adapters in one batch.
+- Merged-weight cache: for single-adapter full-batch traffic the engine
+  merges ``W += (alpha/r) A B`` once and serves with zero adapter overhead
+  (reference's intent at generate_audio.py:29-39, done properly).
+- DP: batch sharded over a ``dp`` mesh; params + bank replicated; XLA emits
+  the collectives.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from audioldm_tpu.config import LoRAConfig
+from audioldm_tpu.lora import merge_lora
+from audioldm_tpu.pipeline.generate import AudioLDMModules, generate
+
+
+class AdapterBank:
+    """Named bank of same-rank adapters stacked leaf-wise."""
+
+    def __init__(self, template: dict, rank: int):
+        self.names: dict[str, int] = {"base": 0}
+        zero = jax.tree.map(jnp.zeros_like, template)
+        self.stacked = jax.tree.map(lambda z: z[None], zero)
+        self.rank = rank
+
+    @classmethod
+    def from_adapters(cls, adapters: dict[str, dict], lora_cfg: LoRAConfig) -> "AdapterBank":
+        first = next(iter(adapters.values()))
+        bank = cls(first, lora_cfg.r)
+        for name, tree in adapters.items():
+            bank.add(name, tree)
+        return bank
+
+    def add(self, name: str, adapter: dict) -> int:
+        idx = len(self.names)
+        self.names[name] = idx
+        self.stacked = jax.tree.map(
+            lambda bank, leaf: jnp.concatenate([bank, leaf[None]], axis=0), self.stacked, adapter
+        )
+        return idx
+
+    def indices(self, names: Sequence[str]) -> jnp.ndarray:
+        return jnp.asarray([self.names[n] for n in names], jnp.int32)
+
+    def gather(self, idx: jnp.ndarray, cfg_batch: int = 1) -> dict:
+        """Per-request adapter leaves ``[B*cfg_batch, in, r]`` — tiled so the
+        CFG-folded UNet batch (uncond rows stacked before cond rows) sees the
+        right adapter on both halves."""
+        tiled = jnp.tile(idx, (cfg_batch,))
+        return jax.tree.map(lambda bank: bank[tiled], self.stacked)
+
+
+class ServeEngine:
+    def __init__(
+        self,
+        modules: AudioLDMModules,
+        tokenizer,
+        lora_cfg: LoRAConfig = LoRAConfig(),
+        bank: Optional[AdapterBank] = None,
+        mesh=None,
+        dtype=jnp.bfloat16,
+        negative_prompt: str = "",
+    ):
+        self.modules = modules
+        self.tokenizer = tokenizer
+        self.lora_cfg = lora_cfg
+        self.bank = bank
+        self.mesh = mesh
+        self.dtype = dtype
+        self.negative_prompt = negative_prompt
+        self._merged_cache: dict[str, AudioLDMModules] = {}
+        self._fns: dict = {}
+
+    # -- compiled entry points ----------------------------------------------
+    def _fn(self, key, steps: int, seconds: float, guidance: float, with_lora: bool):
+        if key not in self._fns:
+            modules = self.modules
+
+            if with_lora:
+
+                def f(ids, mask, u_ids, u_mask, rng, lora):
+                    return generate(
+                        modules, ids, mask, u_ids, u_mask, rng, steps, seconds, guidance,
+                        lora=lora, lora_scale=self.lora_cfg.scale, dtype=self.dtype,
+                    )
+
+            else:
+
+                def f(ids, mask, u_ids, u_mask, rng):
+                    return generate(
+                        modules, ids, mask, u_ids, u_mask, rng, steps, seconds, guidance,
+                        dtype=self.dtype,
+                    )
+
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                data = NamedSharding(self.mesh, P("dp"))
+                repl = NamedSharding(self.mesh, P())
+                n_in = 6 if with_lora else 5
+                in_sh = [data, data, repl, repl, repl] + ([data] if with_lora else [])
+                self._fns[key] = jax.jit(f, in_shardings=tuple(in_sh), out_shardings=data)
+            else:
+                self._fns[key] = jax.jit(f)
+        return self._fns[key]
+
+    def _tokenize(self, prompts: Sequence[str]):
+        tok = self.tokenizer(list(prompts))
+        u = self.tokenizer([self.negative_prompt])
+        return (
+            jnp.asarray(tok["input_ids"]),
+            jnp.asarray(tok["attention_mask"]),
+            jnp.asarray(u["input_ids"]),
+            jnp.asarray(u["attention_mask"]),
+        )
+
+    # -- public API -----------------------------------------------------------
+    def generate(
+        self,
+        prompts: Sequence[str],
+        adapters: Optional[Sequence[str]] = None,
+        num_inference_steps: int = 50,
+        audio_length_in_s: float = 10.0,
+        guidance_scale: float = 2.5,
+        seed: int = 0,
+    ) -> np.ndarray:
+        """Batched generation; ``adapters[i]`` selects the LoRA for prompt i
+        (None/"base" = frozen base model). Returns ``[B, samples]`` float32."""
+        ids, mask, u_ids, u_mask = self._tokenize(prompts)
+        rng = jax.random.PRNGKey(seed)
+        do_cfg = guidance_scale != 1.0
+
+        if adapters is None or self.bank is None or all(a in (None, "base") for a in adapters):
+            fn = self._fn(("plain", num_inference_steps, audio_length_in_s, guidance_scale),
+                          num_inference_steps, audio_length_in_s, guidance_scale, with_lora=False)
+            return np.asarray(fn(ids, mask, u_ids, u_mask, rng))
+
+        names = [a or "base" for a in adapters]
+        idx = self.bank.indices(names)
+        lora = self.bank.gather(idx, cfg_batch=2 if do_cfg else 1)
+        fn = self._fn(("lora", num_inference_steps, audio_length_in_s, guidance_scale),
+                      num_inference_steps, audio_length_in_s, guidance_scale, with_lora=True)
+        return np.asarray(fn(ids, mask, u_ids, u_mask, rng, lora))
+
+    def merged_modules(self, adapter_name: str) -> AudioLDMModules:
+        """Merged-weight cache: zero-overhead single-adapter serving
+        (W += (alpha/r) A B at load; BASELINE config 2)."""
+        if adapter_name not in self._merged_cache:
+            idx = self.bank.names[adapter_name]
+            adapter = jax.tree.map(lambda bank: bank[idx], self.bank.stacked)
+            merged = merge_lora(self.modules.unet, adapter, self.lora_cfg)
+            self._merged_cache[adapter_name] = self.modules._replace(unet=merged)
+        return self._merged_cache[adapter_name]
