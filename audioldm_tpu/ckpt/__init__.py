@@ -1,4 +1,6 @@
 from audioldm_tpu.ckpt.hf_bridge import (
+    convert_clap_audio_state,
+    convert_clap_model_state,
     convert_clap_text_state,
     convert_unet_state,
     convert_vae_state,
@@ -8,6 +10,8 @@ from audioldm_tpu.ckpt.hf_bridge import (
 )
 
 __all__ = [
+    "convert_clap_audio_state",
+    "convert_clap_model_state",
     "convert_clap_text_state",
     "convert_unet_state",
     "convert_vae_state",

@@ -153,6 +153,25 @@ def convert_clap_text_state(sd: dict) -> dict:
     )
 
 
+def convert_clap_audio_state(sd: dict) -> dict:
+    """HTSAT audio tower (ClapAudioModelWithProjection layout)."""
+    return convert_state_dict(
+        sd,
+        rename_rules=[],
+        extra_leaf=lambda k: (
+            k.split(".") if k.endswith("relative_position_bias_table") else None
+        ),
+    )
+
+
+def convert_clap_model_state(sd: dict) -> tuple[dict, dict]:
+    """Split a full ``ClapModel`` (laion/clap-htsat-fused) state dict into
+    (text_tower_params, audio_tower_params) for our two towers."""
+    text_sd = {k: v for k, v in sd.items() if k.startswith(("text_model.", "text_projection."))}
+    audio_sd = {k: v for k, v in sd.items() if k.startswith(("audio_model.", "audio_projection."))}
+    return convert_clap_text_state(text_sd), convert_clap_audio_state(audio_sd)
+
+
 def convert_vocoder_state(sd: dict) -> dict:
     return convert_state_dict(
         sd,

@@ -1,0 +1,278 @@
+"""Command-line entry points — the framework's replacements for the
+reference's scripts (SURVEY.md §2a components 1, 10-14):
+
+  generate        text->audio (replaces app.py + script/inference/generate_audio.py)
+  train           LoRA fine-tune (replaces script/train/train_audioldm_lora.py)
+  score           CLAP/KAD scoring of wav dirs (replaces script/inference/inference.py,
+                  which cannot even import in the reference — SURVEY.md §0)
+  export-dataset  HF dataset -> wav+caption-txt pairs (replaces data/dataset/make_audio_caption.py)
+  push-dataset    wav+txt dir -> HF dataset [+hub push] (replaces data/dataset/push_to_huggingHace_datasets.py)
+  slice           cut wavs into fixed segments (replaces test.py)
+
+Unlike the reference (which hardcodes every hyperparameter and never reads
+its own config.yaml — SURVEY.md §5 'Config/flag system'), every command
+honors the typed RunConfig/yaml schema with CLI overrides.
+
+Usage: python -m audioldm_tpu.cli <command> [options]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def _add_generate(sub):
+    p = sub.add_parser("generate", help="text -> audio")
+    p.add_argument("--checkpoint", required=True, help="audioldm checkpoint dir (HF layout)")
+    p.add_argument("--prompt", required=True)
+    p.add_argument("--negative-prompt", default="")
+    p.add_argument("--lora", default=None, help="PEFT LoRA safetensors to merge at load")
+    p.add_argument("--lora-alpha", type=float, default=None)
+    p.add_argument("--steps", type=int, default=50)
+    p.add_argument("--seconds", type=float, default=10.0)
+    p.add_argument("--guidance", type=float, default=2.5)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--batch", type=int, default=1)
+    p.add_argument("--output", default="output.wav")
+    p.add_argument("--fp32", action="store_true")
+
+
+def cmd_generate(args):
+    import jax
+    import jax.numpy as jnp
+
+    from audioldm_tpu.config import LoRAConfig
+    from audioldm_tpu.data.tokenizer import load_tokenizer
+    from audioldm_tpu.data.wavio import write_wav
+    from audioldm_tpu.pipeline.generate import AudioLDMModules, make_generate_fn
+
+    modules = AudioLDMModules.from_checkpoint(args.checkpoint)
+    if args.lora:
+        from audioldm_tpu.ckpt import load_safetensors
+        from audioldm_tpu.lora import import_peft_state_dict, merge_lora
+
+        sd = load_safetensors(args.lora)
+        lora, rank = import_peft_state_dict(sd)
+        alpha = args.lora_alpha if args.lora_alpha is not None else float(rank)
+        lcfg = LoRAConfig(r=rank, lora_alpha=alpha)
+        # zero-overhead inference: merge at load (W += (alpha/r) A B)
+        modules = modules._replace(unet=merge_lora(modules.unet, lora, lcfg))
+        print(f"merged LoRA rank={rank} alpha={alpha} from {args.lora}")
+
+    tokenizer = load_tokenizer(os.path.join(args.checkpoint, "tokenizer"))
+    tok = tokenizer([args.prompt] * args.batch)
+    unc = tokenizer([args.negative_prompt])
+
+    fn = make_generate_fn(
+        modules, num_inference_steps=args.steps, audio_length_in_s=args.seconds,
+        guidance_scale=args.guidance, dtype=jnp.float32 if args.fp32 else jnp.bfloat16,
+    )
+    wav = np.asarray(
+        fn(
+            jnp.asarray(tok["input_ids"]), jnp.asarray(tok["attention_mask"]),
+            jnp.asarray(unc["input_ids"]), jnp.asarray(unc["attention_mask"]),
+            jax.random.PRNGKey(args.seed),
+        )
+    )
+    sr = modules.vocoder_cfg.sampling_rate
+    if args.batch == 1:
+        write_wav(args.output, wav[0], sr)
+        print(f"wrote {args.output}")
+    else:
+        stem, ext = os.path.splitext(args.output)
+        for i in range(args.batch):
+            write_wav(f"{stem}_{i}{ext}", wav[i], sr)
+        print(f"wrote {args.batch} clips to {stem}_*{ext}")
+
+
+def _add_train(sub):
+    p = sub.add_parser("train", help="LoRA fine-tune")
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--config", default=None, help="run config yaml (config.yaml schema)")
+    p.add_argument("--dataset", default=None, help="HF dataset id or wav+txt dir (overrides config)")
+    p.add_argument("--output", default=None)
+    p.add_argument("--max-steps", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--wandb", action="store_true")
+    p.add_argument("--dp", type=int, default=None, help="data-parallel devices (default: all)")
+
+
+def cmd_train(args):
+    import jax
+    import jax.numpy as jnp
+
+    from audioldm_tpu.config import RunConfig
+    from audioldm_tpu.data import AudioCaptionDataset, DataPipeline
+    from audioldm_tpu.data.tokenizer import load_tokenizer
+    from audioldm_tpu.lora import init_lora
+    from audioldm_tpu.parallel import make_mesh
+    from audioldm_tpu.pipeline.generate import AudioLDMModules
+    from audioldm_tpu.train import Trainer
+    from audioldm_tpu.train.trainer import init_train_state
+    from audioldm_tpu.utils import MetricLogger
+
+    run = RunConfig.from_yaml(args.config) if args.config else RunConfig()
+    if args.dataset:
+        run = __import__("dataclasses").replace(run, dataset_hub_id=args.dataset)
+    output_dir = args.output or run.output_dir
+    tcfg = run.train
+    import dataclasses as _dc
+
+    if args.max_steps:
+        tcfg = _dc.replace(tcfg, max_train_steps=args.max_steps)
+    if args.batch_size:
+        tcfg = _dc.replace(tcfg, train_batch_size=args.batch_size)
+
+    modules = AudioLDMModules.from_checkpoint(args.checkpoint)
+    tokenizer = load_tokenizer(os.path.join(args.checkpoint, "tokenizer"))
+
+    if os.path.isdir(run.dataset_hub_id):
+        source = run.dataset_hub_id
+    else:
+        from datasets import load_dataset
+
+        source = load_dataset(run.dataset_hub_id, split="train")
+    pipe = DataPipeline(AudioCaptionDataset(source), tokenizer, run.mel)
+
+    mesh = make_mesh(args.dp) if (args.dp or jax.device_count() > 1) else None
+    logger = MetricLogger(output_dir, wandb_config=run.wandb, use_wandb=args.wandb)
+    trainer = Trainer(modules, run.lora, tcfg, output_dir, mesh=mesh, logger=logger,
+                      dtype=jnp.bfloat16 if tcfg.mixed_precision == "bfloat16" else jnp.float32)
+
+    lora = init_lora(jax.random.PRNGKey(tcfg.seed), modules.unet, run.lora)
+    state = init_train_state(lora, trainer.optimizer)
+    if args.resume:
+        state = trainer.restore(state)
+        print(f"resumed at step {int(state.step)}")
+
+    global_bs = tcfg.train_batch_size * (mesh.devices.size if mesh else 1)
+    data_iter = pipe.batches(global_bs, np.random.default_rng(tcfg.seed))
+    state, metrics = trainer.fit(state, data_iter, jax.random.PRNGKey(tcfg.seed + 1))
+    trainer.save(state)
+    print(f"done at step {int(state.step)}; final loss {float(metrics.get('loss', float('nan'))):.4f}")
+
+
+def _add_score(sub):
+    p = sub.add_parser("score", help="CLAP/KAD scoring of generated vs reference wav dirs")
+    p.add_argument("--checkpoint", required=True, help="checkpoint dir with a clap/ subfolder, or a CLAP model dir")
+    p.add_argument("--generated", required=True)
+    p.add_argument("--reference", default=None)
+    p.add_argument("--prompt", default=None)
+    p.add_argument("--output", default=None, help="write results json here")
+
+
+def cmd_score(args):
+    from audioldm_tpu.eval.scoring import score_directories
+
+    results = score_directories(
+        clap_dir=args.checkpoint,
+        generated_dir=args.generated,
+        reference_dir=args.reference,
+        prompt=args.prompt,
+    )
+    print(json.dumps(results, indent=2))
+    if args.output:
+        with open(args.output, "w") as f:
+            json.dump(results, f, indent=2)
+
+
+def _add_export(sub):
+    p = sub.add_parser("export-dataset", help="HF dataset -> wav + caption txt pairs")
+    p.add_argument("--dataset", required=True)
+    p.add_argument("--split", default="train")
+    p.add_argument("--output", required=True)
+    p.add_argument("--limit", type=int, default=None)
+
+
+def cmd_export(args):
+    from datasets import load_dataset
+
+    from audioldm_tpu.data.wavio import write_wav
+
+    ds = load_dataset(args.dataset, split=args.split)
+    os.makedirs(args.output, exist_ok=True)
+    n = 0
+    for i, item in enumerate(ds):
+        if args.limit and n >= args.limit:
+            break
+        wav = np.asarray(item["audio"]["array"], np.float32)
+        sr = int(item["audio"]["sampling_rate"])
+        write_wav(os.path.join(args.output, f"{i:06d}.wav"), wav, sr)
+        with open(os.path.join(args.output, f"{i:06d}.txt"), "w") as f:
+            f.write(item.get("caption", ""))
+        n += 1
+    print(f"exported {n} items to {args.output}")
+
+
+def _add_push(sub):
+    p = sub.add_parser("push-dataset", help="wav+txt dir -> HF dataset (+push)")
+    p.add_argument("--input", required=True)
+    p.add_argument("--repo", default=None, help="hub repo id to push to (omit for local save)")
+    p.add_argument("--save", default=None, help="local dataset dir to save to")
+
+
+def cmd_push(args):
+    from datasets import Dataset
+
+    from audioldm_tpu.data.dataset import AudioCaptionDataset
+
+    ds = AudioCaptionDataset(args.input)
+    records = {"audio": [], "caption": []}
+    for i in range(len(ds)):
+        wav, sr, cap = ds.get_raw(i)
+        records["audio"].append({"array": wav, "sampling_rate": sr})
+        records["caption"].append(cap)
+    hf = Dataset.from_dict(records)
+    if args.save:
+        hf.save_to_disk(args.save)
+        print(f"saved dataset to {args.save}")
+    if args.repo:
+        hf.push_to_hub(args.repo)
+        print(f"pushed to {args.repo}")
+
+
+def _add_slice(sub):
+    p = sub.add_parser("slice", help="cut wavs into fixed-length segments")
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--seconds", type=float, default=4.0)
+
+
+def cmd_slice(args):
+    from audioldm_tpu.data.wavio import slice_wav
+
+    paths = (
+        [args.input]
+        if args.input.endswith(".wav")
+        else [os.path.join(args.input, f) for f in sorted(os.listdir(args.input)) if f.endswith(".wav")]
+    )
+    total = 0
+    for p in paths:
+        total += len(slice_wav(p, args.output, args.seconds))
+    print(f"wrote {total} segments to {args.output}")
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="audioldm_tpu", description=__doc__)
+    sub = parser.add_subparsers(dest="command", required=True)
+    for add in (_add_generate, _add_train, _add_score, _add_export, _add_push, _add_slice):
+        add(sub)
+    args = parser.parse_args(argv)
+    {
+        "generate": cmd_generate,
+        "train": cmd_train,
+        "score": cmd_score,
+        "export-dataset": cmd_export,
+        "push-dataset": cmd_push,
+        "slice": cmd_slice,
+    }[args.command](args)
+
+
+if __name__ == "__main__":
+    main()

@@ -155,6 +155,46 @@ class ClapTextConfig:
 
 
 @dataclass(frozen=True)
+class ClapAudioConfig:
+    """CLAP audio tower (HTSAT Swin transformer, fused input) — the eval
+    model ``laion/clap-htsat-fused`` the reference scores with
+    (script/train/train_audioldm_lora.py:361-362, inference.py:86-87)."""
+
+    window_size: int = 8
+    num_mel_bins: int = 64
+    spec_size: int = 256
+    patch_size: int = 4
+    patch_stride: Sequence[int] = (4, 4)
+    num_classes: int = 527
+    hidden_size: int = 768
+    patch_embeds_hidden_size: int = 96
+    depths: Sequence[int] = (2, 2, 6, 2)
+    num_attention_heads: Sequence[int] = (4, 8, 16, 32)
+    enable_fusion: bool = True
+    fusion_type: Optional[str] = None
+    patch_embed_input_channels: int = 1
+    flatten_patch_embeds: bool = True
+    enable_patch_layer_norm: bool = True
+    hidden_act: str = "gelu"
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    aff_block_r: int = 4
+    layer_norm_eps: float = 1e-5
+    drop_path_rate: float = 0.0
+    projection_dim: int = 512
+    projection_hidden_act: str = "relu"
+
+    @classmethod
+    def from_hf(cls, d: dict) -> "ClapAudioConfig":
+        keys = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: _freeze(v) for k, v in d.items() if k in keys})
+
+    @property
+    def freq_ratio(self) -> int:
+        return self.spec_size // self.num_mel_bins
+
+
+@dataclass(frozen=True)
 class VocoderConfig:
     """SpeechT5HifiGan config (reference call site:
     script/train/train_audioldm_lora.py:371; mel [B,T,64] -> 16 kHz waveform,

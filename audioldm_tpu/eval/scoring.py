@@ -1,0 +1,108 @@
+"""Directory-level CLAP/KAD scoring.
+
+Replaces the reference's broken ``script/inference/inference.py`` (duplicate
+``compute_kad_score`` defs make it unimportable — SURVEY.md §0): score a
+directory of generated wavs against a prompt (per-file CLAP score) and a
+reference wav directory (corpus-level KAD), using the JAX CLAP towers.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from audioldm_tpu.config import ClapAudioConfig, ClapTextConfig, load_hf_config
+from audioldm_tpu.data.wavio import read_wav
+from audioldm_tpu.eval.clap_features import batch_fused_features
+from audioldm_tpu.eval.metrics import clap_similarity, kernel_audio_distance
+from audioldm_tpu.models.clap_audio import apply_clap_audio
+from audioldm_tpu.models.clap_text import apply_clap_text
+from audioldm_tpu.ops import resample
+
+
+class ClapScorer:
+    """Loaded CLAP model (text + audio towers) with jitted embed fns."""
+
+    def __init__(self, text_params, text_cfg, audio_params, audio_cfg, tokenizer):
+        self.text_params, self.text_cfg = text_params, text_cfg
+        self.audio_params, self.audio_cfg = audio_params, audio_cfg
+        self.tokenizer = tokenizer
+        self._audio_fn = jax.jit(lambda f, l: apply_clap_audio(audio_params, audio_cfg, f, l)["audio_embeds"])
+        self._text_fn = jax.jit(lambda i, m: apply_clap_text(text_params, text_cfg, i, m)["text_embeds"])
+
+    @classmethod
+    def from_checkpoint(cls, clap_dir: str) -> "ClapScorer":
+        """``clap_dir``: HF-layout CLAP model dir (full ClapModel weights)."""
+        from audioldm_tpu.ckpt.hf_bridge import convert_clap_model_state, load_state_dict
+        from audioldm_tpu.data.tokenizer import load_tokenizer
+
+        sd = load_state_dict(clap_dir)
+        text_params, audio_params = convert_clap_model_state(sd)
+        cfg = load_hf_config(clap_dir, "")
+        text_cfg = ClapTextConfig.from_hf(cfg.get("text_config", {}))
+        audio_cfg = ClapAudioConfig.from_hf(cfg.get("audio_config", {}))
+        tokenizer = load_tokenizer(clap_dir)
+        return cls(text_params, text_cfg, audio_params, audio_cfg, tokenizer)
+
+    def embed_audio(self, waveforms_48k: list[np.ndarray], rng=None) -> jnp.ndarray:
+        feats, longer = batch_fused_features(waveforms_48k, rng)
+        emb = self._audio_fn(feats, longer)
+        return emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
+
+    def embed_text(self, texts: list[str]) -> jnp.ndarray:
+        tok = self.tokenizer(texts, max_length=77)
+        emb = self._text_fn(jnp.asarray(tok["input_ids"]), jnp.asarray(tok["attention_mask"]))
+        return emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
+
+    def clap_scores(self, waveforms_48k: list[np.ndarray], prompt: str) -> np.ndarray:
+        """Per-clip ``(cos+1)/2`` scores vs one prompt (reference formula,
+        train_audioldm_lora.py:128-137)."""
+        a = self.embed_audio(waveforms_48k)
+        t = self.embed_text([prompt])
+        return np.asarray(clap_similarity(a, jnp.broadcast_to(t, a.shape)))
+
+    def kad(self, ref_48k: list[np.ndarray], gen_48k: list[np.ndarray]) -> float:
+        """Corpus-level KAD (reference: compute_clap_kad_from_audio_lists,
+        train_audioldm_lora.py:296-321)."""
+        r = self.embed_audio(ref_48k)
+        g = self.embed_audio(gen_48k)
+        return float(kernel_audio_distance(r, g))
+
+
+def _load_dir_48k(folder: str, limit: Optional[int] = None) -> list[np.ndarray]:
+    out = []
+    for name in sorted(os.listdir(folder)):
+        if not name.endswith(".wav"):
+            continue
+        wav, sr = read_wav(os.path.join(folder, name))
+        if sr != 48000:
+            wav = np.asarray(resample(jnp.asarray(wav), sr, 48000))
+        out.append(wav)
+        if limit and len(out) >= limit:
+            break
+    return out
+
+
+def score_directories(
+    clap_dir: str,
+    generated_dir: str,
+    reference_dir: Optional[str] = None,
+    prompt: Optional[str] = None,
+    limit: Optional[int] = None,
+) -> dict:
+    scorer = ClapScorer.from_checkpoint(clap_dir)
+    gen = _load_dir_48k(generated_dir, limit)
+    results: dict = {"num_generated": len(gen)}
+    if prompt:
+        scores = scorer.clap_scores(gen, prompt)
+        results["clap_scores"] = [float(s) for s in scores]
+        results["clap_score_mean"] = float(np.mean(scores))
+    if reference_dir:
+        ref = _load_dir_48k(reference_dir, limit)
+        results["num_reference"] = len(ref)
+        results["kad"] = scorer.kad(ref, gen)
+    return results

@@ -1,1 +1,1 @@
-from audioldm_tpu.models import clap_text, nn, scheduler, unet, vae, vocoder  # noqa: F401
+from audioldm_tpu.models import clap_audio, clap_text, nn, scheduler, unet, vae, vocoder  # noqa: F401

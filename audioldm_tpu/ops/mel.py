@@ -59,6 +59,14 @@ def _mel_to_hz_slaney(mels: np.ndarray) -> np.ndarray:
     return freqs
 
 
+def _hz_to_mel_htk(f):
+    return 2595.0 * np.log10(1.0 + np.asarray(f, np.float64) / 700.0)
+
+
+def _mel_to_hz_htk(m):
+    return 700.0 * (10.0 ** (np.asarray(m, np.float64) / 2595.0) - 1.0)
+
+
 @functools.lru_cache(maxsize=None)
 def mel_filterbank(
     sampling_rate: int = 16000,
@@ -66,15 +74,22 @@ def mel_filterbank(
     n_mels: int = 64,
     fmin: float = 0.0,
     fmax: float = 8000.0,
+    mel_scale: str = "slaney",
+    norm: str | None = "slaney",
 ) -> np.ndarray:
-    """Slaney-scale, Slaney-normalized triangular mel filterbank.
+    """Triangular mel filterbank: ``mel_scale``/``norm`` in {"slaney","htk"}
+    x {"slaney", None} cover both the librosa default the reference's data
+    path uses (datasets.py:308-314) and the torchaudio-default HTK bank the
+    CLAP 48 kHz feature extractor uses (SURVEY.md §2b, laion CLAP).
 
     Returns float32 ``[n_mels, n_fft // 2 + 1]`` (librosa layout).
     """
     fftfreqs = np.linspace(0.0, sampling_rate / 2.0, 1 + n_fft // 2, dtype=np.float64)
-    mel_min = _hz_to_mel_slaney(np.array(fmin))
-    mel_max = _hz_to_mel_slaney(np.array(fmax))
-    mel_f = _mel_to_hz_slaney(np.linspace(mel_min, mel_max, n_mels + 2))
+    to_mel = _hz_to_mel_htk if mel_scale == "htk" else _hz_to_mel_slaney
+    to_hz = _mel_to_hz_htk if mel_scale == "htk" else _mel_to_hz_slaney
+    mel_min = to_mel(np.array(fmin))
+    mel_max = to_mel(np.array(fmax))
+    mel_f = to_hz(np.linspace(mel_min, mel_max, n_mels + 2))
 
     fdiff = np.diff(mel_f)
     ramps = mel_f[:, None] - fftfreqs[None, :]
@@ -83,9 +98,10 @@ def mel_filterbank(
     upper = ramps[2:] / fdiff[1:, None]
     weights = np.maximum(0.0, np.minimum(lower, upper))
 
-    # Slaney normalization: equal-area triangles.
-    enorm = 2.0 / (mel_f[2 : n_mels + 2] - mel_f[:n_mels])
-    weights = weights * enorm[:, None]
+    if norm == "slaney":
+        # Slaney normalization: equal-area triangles.
+        enorm = 2.0 / (mel_f[2 : n_mels + 2] - mel_f[:n_mels])
+        weights = weights * enorm[:, None]
     return weights.astype(np.float32)
 
 

@@ -29,11 +29,35 @@ def main():
     seconds = 10.24
     guidance = 2.5
 
-    modules = random_modules(jax.random.PRNGKey(0))
-    # bf16 weights for the big submodels; scheduler math stays fp32
-    modules = modules._replace(
-        unet=jax.tree.map(lambda x: x.astype(jnp.bfloat16), modules.unet),
-        vae=jax.tree.map(lambda x: x.astype(jnp.bfloat16), modules.vae),
+    # jit the whole random init: one XLA program instead of ~10^3 small
+    # dispatches (each dispatch pays remote-tunnel latency on this image)
+    from audioldm_tpu.config import ClapTextConfig, UNetConfig, VAEConfig, VocoderConfig
+    from audioldm_tpu.models.clap_text import init_clap_text
+    from audioldm_tpu.models.unet import init_unet
+    from audioldm_tpu.models.vae import init_vae
+    from audioldm_tpu.models.vocoder import init_vocoder
+
+    def _init(key):
+        ks = jax.random.split(key, 4)
+        bf16 = lambda t: jax.tree.map(lambda x: x.astype(jnp.bfloat16), t)
+        return (
+            bf16(init_unet(ks[0], UNetConfig())),
+            bf16(init_vae(ks[1], VAEConfig())),
+            init_clap_text(ks[2], ClapTextConfig()),
+            init_vocoder(ks[3], VocoderConfig()),
+        )
+
+    t0 = time.perf_counter()
+    unet_p, vae_p, text_p, voc_p = jax.jit(_init)(jax.random.PRNGKey(0))
+    jax.block_until_ready(unet_p)
+    print(f"# init: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    from audioldm_tpu.pipeline.generate import AudioLDMModules
+    from audioldm_tpu.config import DDIMConfig
+
+    modules = AudioLDMModules(
+        unet=unet_p, vae=vae_p, text_encoder=text_p, vocoder=voc_p,
+        unet_cfg=UNetConfig(), vae_cfg=VAEConfig(), text_cfg=ClapTextConfig(),
+        vocoder_cfg=VocoderConfig(), ddim_cfg=DDIMConfig(),
     )
 
     fn = make_generate_fn(
