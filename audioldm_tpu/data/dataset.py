@@ -212,12 +212,18 @@ class DataPipeline:
 
     def prepare_waveform(self, wav: np.ndarray, sr: int, rng: np.random.Generator) -> tuple[np.ndarray, int]:
         """Host prep: segment -> resample -> normalize -> (trim) -> pad
-        (reference order: datasets.py:494-521)."""
+        (reference order: datasets.py:494-521). Hot loops run in the native
+        C++ library (cpp/audioprep.cpp) when available, numpy otherwise."""
+        from audioldm_tpu.data import native
+
         cfg = self.mel_cfg
         seg, start = random_segment(wav, int(sr * cfg.duration), rng)
         if sr != cfg.sampling_rate:
-            seg = np.asarray(resample(jnp.asarray(seg), sr, cfg.sampling_rate))
-        seg = normalize_wav(seg)
+            if native.available():
+                seg = native.resample_native(seg, sr, cfg.sampling_rate)
+            else:
+                seg = np.asarray(resample(jnp.asarray(seg), sr, cfg.sampling_rate))
+        seg = native.normalize_native(seg) if native.available() else normalize_wav(seg)
         if self.trim:
             seg = trim_silence(seg)
         return pad_wav(seg, cfg.num_samples), start
