@@ -1,0 +1,123 @@
+"""Pallas TPU flash-attention kernel (non-causal, unmasked).
+
+Hot-op target: the UNet's self-attention over latent tokens (SURVEY.md §2b
+"attention as Pallas flash-attention kernels"). At the first UNet level a
+10.24 s clip is 4096 tokens; naive attention materializes [B, H, 4096, 4096]
+fp32 logits (~1 GB for the CFG-folded batch) in HBM. The streaming-softmax
+kernel keeps per-block logits in VMEM and never writes them out — the
+classic HBM-bandwidth win.
+
+Design (per the Pallas TPU guide): grid over (batch*heads, q-blocks); K/V for
+one batch-head stay resident in VMEM (<= 4096 x 128 x 4 B x 2 = 4 MB); the
+kv loop is a `jax.lax.fori_loop` carrying (running-max, running-sum, acc);
+head_dim is zero-padded to the 128-lane width by the wrapper (zero K columns
+add 0 to logits; zero V columns are sliced off afterwards).
+
+``use_flash_attention(True)`` flips audioldm_tpu.models.nn.sdpa to this
+kernel; correctness is tested in interpret mode on CPU and the on/off choice
+is benchmarked on hardware (bench.py --flash).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BLOCK_Q = 256
+_BLOCK_K = 256
+_LANE = 128
+
+_ENABLED = False
+
+
+def use_flash_attention(enabled: bool = True):
+    """Globally route models.nn.sdpa through the Pallas kernel."""
+    global _ENABLED
+    _ENABLED = enabled
+
+
+def enabled() -> bool:
+    return _ENABLED
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, scale: float):
+    q = q_ref[0].astype(jnp.float32) * scale  # [block_q, D]
+    block_q, d = q.shape
+    n_kv = k_ref.shape[1]
+    num_blocks = n_kv // block_k
+
+    m0 = jnp.full((block_q, 1), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((block_q, 1), jnp.float32)
+    acc0 = jnp.zeros((block_q, d), jnp.float32)
+
+    def body(i, carry):
+        m, l, acc = carry
+        k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)  # [bq, bk]
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jnp.dot(p, v, preferred_element_type=jnp.float32)
+        return m_new, l, acc
+
+    m, l, acc = jax.lax.fori_loop(0, num_blocks, body, (m0, l0, acc0))
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
+
+
+def _flash_bh(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float, interpret: bool) -> jnp.ndarray:
+    """q [BH, N, D], k/v [BH, M, D] with D lane-aligned, N % block_q == 0."""
+    bh, n, d = q.shape
+    m = k.shape[1]
+    block_q = min(_BLOCK_Q, n)
+    block_k = min(_BLOCK_K, m)
+    grid = (bh, n // block_q)
+    return pl.pallas_call(
+        functools.partial(_flash_kernel, block_k=block_k, scale=scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, n, d), q.dtype),
+        interpret=interpret,
+    )(q, k, v)
+
+
+def supported(n: int, m: int, d: int) -> bool:
+    return (
+        n % min(_BLOCK_Q, n) == 0
+        and m % min(_BLOCK_K, m) == 0
+        and n % 8 == 0
+        and m % 8 == 0
+        and d <= _LANE
+    )
+
+
+def flash_attention(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, interpret: bool = False
+) -> jnp.ndarray:
+    """Drop-in for models.nn.sdpa on unmasked inputs: ``[B, H, N, D]``."""
+    b, h, n, d = q.shape
+    m = k.shape[2]
+    scale = 1.0 / math.sqrt(d)
+    pad = (-d) % _LANE
+    if pad:
+        padding = ((0, 0), (0, 0), (0, 0), (0, pad))
+        q, k, v = (jnp.pad(t, padding) for t in (q, k, v))
+    out = _flash_bh(
+        q.reshape(b * h, n, d + pad),
+        k.reshape(b * h, m, d + pad),
+        v.reshape(b * h, m, d + pad),
+        scale,
+        interpret,
+    )
+    return out.reshape(b, h, n, d + pad)[..., :d]

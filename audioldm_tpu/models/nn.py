@@ -214,9 +214,14 @@ def init_attention(key, query_dim: int, heads: int, context_dim: Optional[int] =
 def sdpa(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Scaled dot-product attention over ``[B, H, N, D]``; softmax in fp32.
 
-    XLA fuses this into an efficient attention on TPU for the sequence
-    lengths in this model family (<= 4096 latent tokens); a Pallas
-    flash-attention kernel can be swapped in here (audioldm_tpu.kernels)."""
+    Unmasked calls route through the Pallas flash-attention kernel when
+    enabled (audioldm_tpu.kernels.use_flash_attention) — streaming softmax,
+    no HBM logits; otherwise XLA's fused attention."""
+    if mask is None:
+        from audioldm_tpu.kernels import flash_attention, flash_enabled, flash_supported
+
+        if flash_enabled() and flash_supported(q.shape[2], k.shape[2], q.shape[3]):
+            return flash_attention(q, k, v)
     scale = 1.0 / math.sqrt(q.shape[-1])
     logits = jnp.einsum("bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32) * scale
     if mask is not None:

@@ -1,0 +1,45 @@
+"""Pallas flash-attention correctness vs the XLA sdpa reference (interpret
+mode on CPU; hardware perf is measured by bench.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from audioldm_tpu.kernels.flash_attention import flash_attention, supported
+from audioldm_tpu.models.nn import sdpa
+
+
+@pytest.mark.parametrize("shape", [(2, 2, 256, 16), (1, 4, 512, 64), (1, 2, 256, 80)])
+def test_flash_matches_sdpa(shape, rng):
+    b, h, n, d = shape
+    q = jnp.asarray(rng.standard_normal((b, h, n, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, h, n, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, h, n, d)).astype(np.float32))
+    ref = sdpa(q, k, v)
+    out = flash_attention(q, k, v, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_supported_covers_unet_shapes():
+    # level-0/1/2/mid token counts of the 10.24 s latent (SURVEY.md §2b)
+    for n, d in [(4096, 16), (1024, 32), (256, 48), (64, 80)]:
+        assert supported(n, n, d)
+
+
+def test_sdpa_routes_through_flash(rng, monkeypatch):
+    import audioldm_tpu.kernels as K
+    from audioldm_tpu.kernels import use_flash_attention
+
+    q = jnp.asarray(rng.standard_normal((1, 2, 256, 16)).astype(np.float32))
+    ref = sdpa(q, q, q)
+
+    # interpret mode on CPU: patch the package attr sdpa resolves at call time
+    orig = flash_attention
+    monkeypatch.setattr(K, "flash_attention", lambda q, k, v: orig(q, k, v, interpret=True))
+    use_flash_attention(True)
+    try:
+        out = sdpa(q, q, q)
+    finally:
+        use_flash_attention(False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
