@@ -20,9 +20,10 @@ TPU-first re-design:
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 import math
-from typing import NamedTuple, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -43,8 +44,15 @@ from audioldm_tpu.models.unet import apply_unet, init_unet
 from audioldm_tpu.models.vocoder import apply_vocoder, init_vocoder
 
 
-class AudioLDMModules(NamedTuple):
-    """Bundle of all submodel params + configs (the pipeline's 'self')."""
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class AudioLDMModules:
+    """Bundle of all submodel params + configs (the pipeline's 'self').
+
+    Registered as a pytree with the configs as STATIC aux data: a jitted
+    function can take the whole bundle as an argument, so the (GB-scale)
+    params travel as device buffers instead of being baked into the HLO as
+    constants — critical for compile-payload size and retrace avoidance."""
 
     unet: dict
     vae: dict
@@ -55,6 +63,18 @@ class AudioLDMModules(NamedTuple):
     text_cfg: ClapTextConfig
     vocoder_cfg: VocoderConfig
     ddim_cfg: DDIMConfig
+
+    def tree_flatten(self):
+        children = (self.unet, self.vae, self.text_encoder, self.vocoder)
+        aux = (self.unet_cfg, self.vae_cfg, self.text_cfg, self.vocoder_cfg, self.ddim_cfg)
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+    def _replace(self, **kw) -> "AudioLDMModules":
+        return dataclasses.replace(self, **kw)
 
     @classmethod
     def from_checkpoint(cls, checkpoint_dir: str) -> "AudioLDMModules":
@@ -218,25 +238,32 @@ def make_generate_fn(
     dtype=jnp.bfloat16,
     with_lora: bool = False,
 ):
-    """jit-compiled generation closure over the module bundle. Params are
-    donated-free closure constants; prompts/rng are the only runtime inputs."""
+    """jit-compiled generation over the module bundle. The bundle is a jit
+    ARGUMENT (configs static via the pytree registration), so params travel
+    as device buffers — never serialized into the compiled program."""
     if with_lora:
 
         @functools.partial(jax.jit, static_argnames=("lora_scale",))
-        def fn(input_ids, attention_mask, uncond_ids, uncond_mask, rng, lora, lora_scale=1.0):
+        def fn_lora(mods, input_ids, attention_mask, uncond_ids, uncond_mask, rng, lora, lora_scale=1.0):
             return generate(
-                modules, input_ids, attention_mask, uncond_ids, uncond_mask, rng,
+                mods, input_ids, attention_mask, uncond_ids, uncond_mask, rng,
                 num_inference_steps, audio_length_in_s, guidance_scale,
                 lora=lora, lora_scale=lora_scale, dtype=dtype,
             )
 
+        def fn(input_ids, attention_mask, uncond_ids, uncond_mask, rng, lora, lora_scale=1.0):
+            return fn_lora(modules, input_ids, attention_mask, uncond_ids, uncond_mask, rng, lora, lora_scale=lora_scale)
+
         return fn
 
     @jax.jit
-    def fn(input_ids, attention_mask, uncond_ids, uncond_mask, rng):
+    def fn_plain(mods, input_ids, attention_mask, uncond_ids, uncond_mask, rng):
         return generate(
-            modules, input_ids, attention_mask, uncond_ids, uncond_mask, rng,
+            mods, input_ids, attention_mask, uncond_ids, uncond_mask, rng,
             num_inference_steps, audio_length_in_s, guidance_scale, dtype=dtype,
         )
+
+    def fn(input_ids, attention_mask, uncond_ids, uncond_mask, rng):
+        return fn_plain(modules, input_ids, attention_mask, uncond_ids, uncond_mask, rng)
 
     return fn

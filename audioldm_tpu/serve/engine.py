@@ -92,21 +92,21 @@ class ServeEngine:
     # -- compiled entry points ----------------------------------------------
     def _fn(self, key, steps: int, seconds: float, guidance: float, with_lora: bool):
         if key not in self._fns:
-            modules = self.modules
-
+            # module bundle is a jit ARGUMENT (params as device buffers, configs
+            # static) — see pipeline.generate.AudioLDMModules
             if with_lora:
 
-                def f(ids, mask, u_ids, u_mask, rng, lora):
+                def f(mods, ids, mask, u_ids, u_mask, rng, lora):
                     return generate(
-                        modules, ids, mask, u_ids, u_mask, rng, steps, seconds, guidance,
+                        mods, ids, mask, u_ids, u_mask, rng, steps, seconds, guidance,
                         lora=lora, lora_scale=self.lora_cfg.scale, dtype=self.dtype,
                     )
 
             else:
 
-                def f(ids, mask, u_ids, u_mask, rng):
+                def f(mods, ids, mask, u_ids, u_mask, rng):
                     return generate(
-                        modules, ids, mask, u_ids, u_mask, rng, steps, seconds, guidance,
+                        mods, ids, mask, u_ids, u_mask, rng, steps, seconds, guidance,
                         dtype=self.dtype,
                     )
 
@@ -115,11 +115,11 @@ class ServeEngine:
 
                 data = NamedSharding(self.mesh, P("dp"))
                 repl = NamedSharding(self.mesh, P())
-                n_in = 6 if with_lora else 5
-                in_sh = [data, data, repl, repl, repl] + ([data] if with_lora else [])
-                self._fns[key] = jax.jit(f, in_shardings=tuple(in_sh), out_shardings=data)
+                in_sh = [repl, data, data, repl, repl, repl] + ([data] if with_lora else [])
+                jitted = jax.jit(f, in_shardings=tuple(in_sh), out_shardings=data)
             else:
-                self._fns[key] = jax.jit(f)
+                jitted = jax.jit(f)
+            self._fns[key] = lambda *args, _j=jitted: _j(self.modules, *args)
         return self._fns[key]
 
     def _tokenize(self, prompts: Sequence[str]):

@@ -121,9 +121,9 @@ def make_train_step(
     XLA inserts the gradient psum over ICI (the NCCL-allreduce equivalent,
     SURVEY.md §5 'Distributed communication backend')."""
 
-    def step_fn(state: TrainState, batch: dict, rng: jax.Array):
+    def step_fn(mods: AudioLDMModules, state: TrainState, batch: dict, rng: jax.Array):
         def loss_for(lora, mb, key):
-            return lora_loss_fn(lora, modules, mb, key, lora_cfg.scale, dtype)
+            return lora_loss_fn(lora, mods, mb, key, lora_cfg.scale, dtype)
 
         if grad_accum == 1:
             (loss, metrics), grads = jax.value_and_grad(loss_for, has_aux=True)(state.lora, batch, rng)
@@ -149,16 +149,23 @@ def make_train_step(
 
     # NB: no buffer donation — the adapter/opt pytrees are tiny (rank-r A/B
     # matrices) and donation would invalidate caller-held references.
+    # The frozen module bundle is a jit ARGUMENT (device buffers), never a
+    # closure constant — keeps the compile payload small at full model size.
     if mesh is None:
-        return jax.jit(step_fn)
+        jitted = jax.jit(step_fn)
+    else:
+        repl = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P("dp"))
+        jitted = jax.jit(
+            step_fn,
+            in_shardings=(repl, repl, data, repl),
+            out_shardings=(repl, repl),
+        )
 
-    repl = NamedSharding(mesh, P())
-    data = NamedSharding(mesh, P("dp"))
-    return jax.jit(
-        step_fn,
-        in_shardings=(repl, data, repl),
-        out_shardings=(repl, repl),
-    )
+    def fn(state: TrainState, batch: dict, rng: jax.Array):
+        return jitted(modules, state, batch, rng)
+
+    return fn
 
 
 def init_train_state(lora: dict, optimizer: optax.GradientTransformation) -> TrainState:
