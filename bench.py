@@ -15,11 +15,20 @@ star (>1.0 means faster than target).
 """
 
 import json
+import os
 import sys
 import time
 
 import jax
 import jax.numpy as jnp
+
+# persistent compile cache: the driver re-runs this every round
+os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+try:
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+except Exception:
+    pass
 
 
 def main():
@@ -70,15 +79,22 @@ def main():
     u_ids = jnp.full((1, 512), 1, jnp.int32).at[:, 0].set(0)
     u_mask = jnp.zeros((1, 512), jnp.int32).at[:, 0].set(1)
 
+    def run(seed):
+        wav = fn(ids, mask, u_ids, u_mask, jax.random.PRNGKey(seed))
+        # force full completion with a device->host fetch: on this remote
+        # backend block_until_ready returns before execution finishes
+        return jax.device_get(wav[0, :8])
+
     # compile + warmup
-    wav = fn(ids, mask, u_ids, u_mask, jax.random.PRNGKey(0))
-    wav.block_until_ready()
+    t0 = time.perf_counter()
+    run(0)
+    print(f"# compile+warmup: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    run(1)
 
     iters = 5
     t0 = time.perf_counter()
     for i in range(iters):
-        wav = fn(ids, mask, u_ids, u_mask, jax.random.PRNGKey(i))
-    wav.block_until_ready()
+        run(2 + i)
     dt = (time.perf_counter() - t0) / iters
 
     target = 1.0  # BASELINE.json north star: <1 s / 10 s clip @ 50 steps
