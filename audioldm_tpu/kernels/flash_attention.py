@@ -46,7 +46,9 @@ def enabled() -> bool:
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, scale: float):
-    q = q_ref[0].astype(jnp.float32) * scale  # [block_q, D]
+    # keep matmul INPUTS in the storage dtype (bf16 on the fast path — fp32
+    # MXU matmuls are ~4x slower on v5e) and accumulate fp32.
+    q = q_ref[0]  # [block_q, D]
     block_q, d = q.shape
     n_kv = k_ref.shape[1]
     num_blocks = n_kv // block_k
@@ -57,14 +59,14 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, scale: float):
 
     def body(i, carry):
         m, l, acc = carry
-        k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)  # [bq, bk]
+        k = k_ref[0, pl.ds(i * block_k, block_k), :]
+        v = v_ref[0, pl.ds(i * block_k, block_k), :]
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale  # [bq, bk] fp32
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m - m_new)
         l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc = acc * alpha + jnp.dot(p, v, preferred_element_type=jnp.float32)
+        acc = acc * alpha + jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
         return m_new, l, acc
 
     m, l, acc = jax.lax.fori_loop(0, num_blocks, body, (m0, l0, acc0))

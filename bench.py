@@ -32,7 +32,12 @@ except Exception:
 
 
 def main():
+    from audioldm_tpu.kernels import use_flash_attention
     from audioldm_tpu.pipeline.generate import make_generate_fn, random_modules
+
+    # Pallas flash attention: 8x faster than XLA attention at the UNet's
+    # level-0 shape ([2,8,4096,16]) on v5e; ~16% off the whole UNet step.
+    use_flash_attention(True)
 
     steps = 50
     seconds = 10.24
