@@ -28,9 +28,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_BLOCK_Q = 256
-_BLOCK_K = 256
+_BLOCK_Q = 512  # device-pure sweep on v5e: 512/1024 -> 1.35 ms vs XLA 3.2 ms
+_BLOCK_K = 1024  # at the level-0 shape [2,8,4096,16]
 _LANE = 128
+_MIN_TOKENS = 2048  # below this XLA's fused attention is already optimal
 
 _ENABLED = False
 
@@ -73,12 +74,15 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, scale: float):
     o_ref[0] = (acc / l).astype(o_ref.dtype)
 
 
-def _flash_bh(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float, interpret: bool) -> jnp.ndarray:
+def _flash_bh(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float, interpret: bool,
+    block_q: int = _BLOCK_Q, block_k: int = _BLOCK_K,
+) -> jnp.ndarray:
     """q [BH, N, D], k/v [BH, M, D] with D lane-aligned, N % block_q == 0."""
     bh, n, d = q.shape
     m = k.shape[1]
-    block_q = min(_BLOCK_Q, n)
-    block_k = min(_BLOCK_K, m)
+    block_q = min(block_q, n)
+    block_k = min(block_k, m)
     grid = (bh, n // block_q)
     return pl.pallas_call(
         functools.partial(_flash_kernel, block_k=block_k, scale=scale),
@@ -96,7 +100,8 @@ def _flash_bh(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float, inte
 
 def supported(n: int, m: int, d: int) -> bool:
     return (
-        n % min(_BLOCK_Q, n) == 0
+        n >= _MIN_TOKENS  # shorter sequences: XLA's fused attention wins
+        and n % min(_BLOCK_Q, n) == 0
         and m % min(_BLOCK_K, m) == 0
         and n % 8 == 0
         and m % 8 == 0
@@ -105,7 +110,8 @@ def supported(n: int, m: int, d: int) -> bool:
 
 
 def flash_attention(
-    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, interpret: bool = False
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, interpret: bool = False,
+    block_q: int = _BLOCK_Q, block_k: int = _BLOCK_K,
 ) -> jnp.ndarray:
     """Drop-in for models.nn.sdpa on unmasked inputs: ``[B, H, N, D]``."""
     b, h, n, d = q.shape
@@ -121,5 +127,7 @@ def flash_attention(
         v.reshape(b * h, m, d + pad),
         scale,
         interpret,
+        block_q=block_q,
+        block_k=block_k,
     )
     return out.reshape(b, h, n, d + pad)[..., :d]
