@@ -170,6 +170,39 @@ def random_segment(wav: np.ndarray, target: int, rng: np.random.Generator, retri
     return wav[start : start + target], start
 
 
+def frequency_masking(log_mel: jnp.ndarray, freqm: int, rng: np.random.Generator) -> jnp.ndarray:
+    """SpecAugment frequency mask (reference: datasets.py:430-435 — mask
+    length U[freqm/8, freqm), batched over ``[..., T, F]``)."""
+    f = log_mel.shape[-1]
+    mask_len = int(rng.uniform(freqm // 8, freqm))
+    start = int(rng.uniform(0, max(f - mask_len, 1)))
+    idx = np.arange(f)
+    keep = (idx < start) | (idx >= start + mask_len)
+    return log_mel * jnp.asarray(keep, log_mel.dtype)
+
+
+def time_masking(log_mel: jnp.ndarray, timem: int, rng: np.random.Generator) -> jnp.ndarray:
+    """SpecAugment time mask (reference: datasets.py:437-442)."""
+    t = log_mel.shape[-2]
+    mask_len = int(rng.uniform(timem // 8, timem))
+    start = int(rng.uniform(0, max(t - mask_len, 1)))
+    idx = np.arange(t)
+    keep = (idx < start) | (idx >= start + mask_len)
+    return log_mel * jnp.asarray(keep, log_mel.dtype)[:, None]
+
+
+def label_vector(labels: str, index_dict: dict[str, int], num_classes: int) -> np.ndarray:
+    """Comma-separated label string -> one-hot float vector (reference:
+    datasets.py:455-469)."""
+    out = np.zeros(num_classes, np.float32)
+    if labels:
+        for s in labels.split(","):
+            s = s.strip()
+            if s in index_dict:
+                out[int(index_dict[s])] = 1.0
+    return out
+
+
 def trim_silence(wav: np.ndarray, threshold: float = 1e-4, chunk: int = 1000) -> np.ndarray:
     """Leading/trailing silence trim — the reference *intends* this but the
     ``trim_wav`` attribute shadows the method so it never runs

@@ -152,3 +152,23 @@ def test_wav_dir_dataset(tmp_path, bpe_files, rng):
     assert len(ds) == 2
     wav, sr, cap = ds.get_raw(1)
     assert sr == 16000 and cap == "caption 1" and len(wav) == 6000
+
+
+def test_spec_augment_masks():
+    import jax.numpy as jnp
+
+    from audioldm_tpu.data.dataset import frequency_masking, label_vector, time_masking
+
+    rng2 = np.random.default_rng(3)
+    mel = jnp.ones((32, 64))
+    fm = np.asarray(frequency_masking(mel, 16, rng2))
+    zero_cols = np.where(fm.sum(axis=0) == 0)[0]
+    assert 2 <= len(zero_cols) <= 16
+    assert np.all(np.diff(zero_cols) == 1)  # contiguous band
+
+    tm = np.asarray(time_masking(mel, 16, rng2))
+    zero_rows = np.where(tm.sum(axis=1) == 0)[0]
+    assert 2 <= len(zero_rows) <= 16
+
+    lv = label_vector("drums, bass", {"drums": 0, "bass": 3, "piano": 5}, 8)
+    np.testing.assert_array_equal(np.where(lv == 1.0)[0], [0, 3])

@@ -88,3 +88,24 @@ def test_merged_cache_matches_bank_path(engine):
         num_inference_steps=2, audio_length_in_s=0.01, guidance_scale=2.0,
     )
     np.testing.assert_allclose(via_bank, np.asarray(wav), atol=2e-4)
+
+
+def test_serve_dp_mesh_matches_single(engine):
+    """DP-sharded serving matches unsharded output (BASELINE config 5:
+    data-parallel over ICI, validated on the virtual CPU mesh)."""
+    import jax.numpy as jnp
+
+    from audioldm_tpu.parallel import make_mesh
+    from audioldm_tpu.serve import ServeEngine
+
+    mesh = make_mesh(8)
+    dp_engine = ServeEngine(
+        engine.modules, DummyTokenizer(), engine.lora_cfg, bank=engine.bank,
+        mesh=mesh, dtype=jnp.float32,
+    )
+    prompts = ["hip hop beat"] * 8
+    adapters = ["hiphop", "base", "jazz", "base", "hiphop", "jazz", "base", "hiphop"]
+    sharded = dp_engine.generate(prompts, adapters=adapters, **GEN)
+    plain = engine.generate(prompts, adapters=adapters, **GEN)
+    assert sharded.shape == (8, 160)
+    np.testing.assert_allclose(sharded, plain, atol=1e-5)
