@@ -109,11 +109,7 @@ def supported(n: int, m: int, d: int) -> bool:
     )
 
 
-def flash_attention(
-    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, interpret: bool = False,
-    block_q: int = _BLOCK_Q, block_k: int = _BLOCK_K,
-) -> jnp.ndarray:
-    """Drop-in for models.nn.sdpa on unmasked inputs: ``[B, H, N, D]``."""
+def _flash_fwd_impl(q, k, v, interpret=False, block_q=None, block_k=None):
     b, h, n, d = q.shape
     m = k.shape[2]
     scale = 1.0 / math.sqrt(d)
@@ -127,7 +123,45 @@ def flash_attention(
         v.reshape(b * h, m, d + pad),
         scale,
         interpret,
-        block_q=block_q,
-        block_k=block_k,
+        block_q=block_q or _BLOCK_Q,
+        block_k=block_k or _BLOCK_K,
     )
     return out.reshape(b, h, n, d + pad)[..., :d]
+
+
+def _xla_sdpa(q, k, v):
+    scale = 1.0 / math.sqrt(q.shape[-1])
+    logits = jnp.einsum("bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32) * scale
+    w = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhnm,bhmd->bhnd", w, v, preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+@jax.custom_vjp
+def _flash(q, k, v):
+    return _flash_fwd_impl(q, k, v)
+
+
+def _flash_vjp_fwd(q, k, v):
+    # Pallas forward; save inputs for an XLA-derived backward (the LoRA
+    # trainer differentiates through attention outputs, SURVEY.md §3.1).
+    return _flash_fwd_impl(q, k, v), (q, k, v)
+
+
+def _flash_vjp_bwd(res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(_xla_sdpa, q, k, v)
+    return vjp(g)
+
+
+_flash.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
+
+
+def flash_attention(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, interpret: bool = False,
+    block_q: int | None = None, block_k: int | None = None,
+) -> jnp.ndarray:
+    """Drop-in for models.nn.sdpa on unmasked inputs: ``[B, H, N, D]``.
+    Differentiable: Pallas kernel forward, XLA-attention backward."""
+    if interpret or block_q is not None or block_k is not None:
+        return _flash_fwd_impl(q, k, v, interpret=interpret, block_q=block_q, block_k=block_k)
+    return _flash(q, k, v)

@@ -103,8 +103,10 @@ def conv2d(
         padding=pad,
         rhs_dilation=(dilation, dilation),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
+        # NB: no preferred_element_type — TPU convs accumulate fp32 on the MXU
+        # regardless, and the flag breaks the conv VJP when a fp32 cotangent
+        # meets bf16 kernels (convs require matching operand dtypes).
+    )
     if "bias" in p:
         y = y + p["bias"].astype(x.dtype)
     return y
@@ -127,8 +129,7 @@ def conv1d(
         rhs_dilation=(dilation,),
         dimension_numbers=("NWC", "WIO", "NWC"),
         feature_group_count=groups,
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
+    )
     if "bias" in p:
         y = y + p["bias"].astype(x.dtype)
     return y
@@ -150,8 +151,7 @@ def conv_transpose1d(p: dict, x: jnp.ndarray, stride: int, padding: int) -> jnp.
         padding=[(pad, pad)],
         lhs_dilation=(stride,),
         dimension_numbers=("NWC", "WIO", "NWC"),
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
+    )
     if "bias" in p:
         y = y + p["bias"].astype(x.dtype)
     return y
