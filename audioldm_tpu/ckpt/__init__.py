@@ -5,8 +5,13 @@ from audioldm_tpu.ckpt.hf_bridge import (
     convert_unet_state,
     convert_vae_state,
     convert_vocoder_state,
+    export_clap_text_state,
+    export_unet_state,
+    export_vae_state,
+    export_vocoder_state,
     load_audioldm_checkpoint,
     load_safetensors,
+    save_audioldm_checkpoint,
 )
 
 __all__ = [

@@ -182,8 +182,107 @@ def convert_vocoder_state(sd: dict) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# Inverse converters: audioldm_tpu pytrees -> HF/torch state dicts, so
+# checkpoints trained here remain loadable by the reference's torch stack.
+# ---------------------------------------------------------------------------
+
+
+def _flatten(tree: dict, prefix: str = "") -> dict:
+    out = {}
+    for k, v in tree.items():
+        key = f"{prefix}{k}" if not prefix else f"{prefix}.{k}"
+        if isinstance(v, dict):
+            out.update(_flatten(v, key))
+        else:
+            out[key] = np.asarray(v)
+    return out
+
+
+def export_state_dict(
+    tree: dict,
+    rename_rules: list[tuple[str, str]],
+    is_conv_transpose: Callable[[str], bool] = lambda m: False,
+) -> dict:
+    """Inverse of :func:`convert_state_dict` (same rules, applied backwards)."""
+    inv_rules = [(new, old) for old, new in rename_rules]
+    sd = {}
+    for key, v in _flatten(tree).items():
+        parts = key.split(".")
+        leaf, module = parts[-1], ".".join(parts[:-1])
+        module = _rewrite(module, inv_rules)
+        if leaf == "kernel":
+            if v.ndim == 4:  # HWIO -> OIHW
+                sd[f"{module}.weight"] = v.transpose(3, 2, 0, 1)
+            elif v.ndim == 3:
+                if is_conv_transpose(module):  # WIO -> IOW
+                    sd[f"{module}.weight"] = v.transpose(1, 2, 0)
+                else:  # WIO -> OIW
+                    sd[f"{module}.weight"] = v.transpose(2, 1, 0)
+            elif v.ndim == 2:  # [in,out] -> [out,in]
+                sd[f"{module}.weight"] = v.T
+            else:
+                raise ValueError(f"unexported kernel {key} shape {v.shape}")
+        elif leaf in ("scale", "mean") and not module:
+            sd[leaf] = v  # vocoder's top-level mean/scale buffers
+        elif leaf == "scale":
+            sd[f"{module}.weight"] = v  # norm / BN gain
+        elif leaf == "embedding":
+            sd[f"{module}.weight"] = v
+        elif leaf in ("bias", "running_mean", "running_var"):
+            sd[f"{module}.{leaf}"] = v
+        else:
+            sd[key] = v
+    return sd
+
+
+def export_unet_state(params: dict) -> dict:
+    return export_state_dict(params, _UNET_RULES)
+
+
+def export_vae_state(params: dict) -> dict:
+    return export_state_dict(params, _UNET_RULES)  # modern to_q/... names
+
+
+def export_clap_text_state(params: dict) -> dict:
+    return export_state_dict(params, [])
+
+
+def export_vocoder_state(params: dict) -> dict:
+    return export_state_dict(params, [], is_conv_transpose=lambda m: m.startswith("upsampler."))
+
+
+# ---------------------------------------------------------------------------
 # Full checkpoint load
 # ---------------------------------------------------------------------------
+
+
+def save_audioldm_checkpoint(checkpoint_dir: str, modules) -> None:
+    """Write an HF-layout audioldm checkpoint directory (safetensors +
+    config.json per subfolder) from an AudioLDMModules bundle — the inverse
+    of :func:`load_audioldm_checkpoint`, so models trained/merged here stay
+    loadable by the reference's diffusers/transformers stack."""
+    import dataclasses
+    import json
+
+    from safetensors.numpy import save_file
+
+    specs = [
+        ("unet", modules.unet, modules.unet_cfg, export_unet_state, "diffusion_pytorch_model.safetensors", "config.json"),
+        ("vae", modules.vae, modules.vae_cfg, export_vae_state, "diffusion_pytorch_model.safetensors", "config.json"),
+        ("text_encoder", modules.text_encoder, modules.text_cfg, export_clap_text_state, "model.safetensors", "config.json"),
+        ("vocoder", modules.vocoder, modules.vocoder_cfg, export_vocoder_state, "model.safetensors", "config.json"),
+    ]
+    for sub, params, cfg, export, weights_name, cfg_name in specs:
+        folder = os.path.join(checkpoint_dir, sub)
+        os.makedirs(folder, exist_ok=True)
+        sd = {k: np.ascontiguousarray(np.asarray(v, np.float32)) for k, v in export(params).items()}
+        save_file(sd, os.path.join(folder, weights_name))
+        with open(os.path.join(folder, cfg_name), "w") as f:
+            json.dump(dataclasses.asdict(cfg), f, indent=2)
+    sched = os.path.join(checkpoint_dir, "scheduler")
+    os.makedirs(sched, exist_ok=True)
+    with open(os.path.join(sched, "scheduler_config.json"), "w") as f:
+        json.dump(dataclasses.asdict(modules.ddim_cfg), f, indent=2)
 
 
 def load_audioldm_checkpoint(checkpoint_dir: str):
