@@ -63,9 +63,13 @@ def load_state_dict(folder: str) -> dict:
 
 
 def _set(tree: dict, parts: list[str], value):
+    import jax.numpy as jnp
+
     for p in parts[:-1]:
         tree = tree.setdefault(p, {})
-    tree[parts[-1]] = value
+    # device arrays, not numpy: params may be closed over by jitted fns
+    # (tracer-indexing a numpy embedding table fails)
+    tree[parts[-1]] = jnp.asarray(value)
 
 
 def _rewrite(module: str, rules: list[tuple[str, str]]) -> str:

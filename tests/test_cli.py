@@ -1,0 +1,139 @@
+"""CLI end-to-end smoke tests over tiny saved checkpoints — the framework's
+replacements for the reference entry points (SURVEY.md §2a #10-14)."""
+
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from audioldm_tpu import cli
+from audioldm_tpu.ckpt import save_audioldm_checkpoint
+from audioldm_tpu.config import DDIMConfig
+from audioldm_tpu.data.wavio import read_wav, write_wav
+from audioldm_tpu.pipeline.generate import random_modules
+from tests.test_pipeline import TINY_TEXT, TINY_UNET, TINY_VAE, TINY_VOC
+
+
+def _write_tokenizer_files(folder):
+    from tokenizers.implementations import ByteLevelBPETokenizer
+
+    corpus = os.path.join(folder, "_corpus.txt")
+    with open(corpus, "w") as f:
+        f.write("hip hop music with heavy bass and drums\n" * 30)
+    tok = ByteLevelBPETokenizer()
+    tok.train([corpus], vocab_size=300, min_frequency=1,
+              special_tokens=["<s>", "<pad>", "</s>", "<unk>", "<mask>"])
+    tok.save_model(folder)
+
+
+@pytest.fixture(scope="module")
+def tiny_checkpoint(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("ckpt"))
+    # the text tower must cover the tokenizer's vocab (300) — widen it
+    text_cfg = TINY_TEXT.__class__(**{**TINY_TEXT.__dict__, "vocab_size": 512})
+    modules = random_modules(
+        jax.random.PRNGKey(0),
+        unet_cfg=TINY_UNET, vae_cfg=TINY_VAE, text_cfg=text_cfg, vocoder_cfg=TINY_VOC,
+        ddim_cfg=DDIMConfig(),
+    )
+    save_audioldm_checkpoint(d, modules)
+    tok_dir = os.path.join(d, "tokenizer")
+    os.makedirs(tok_dir, exist_ok=True)
+    _write_tokenizer_files(tok_dir)
+    return d
+
+
+def test_cli_generate(tiny_checkpoint, tmp_path):
+    out = str(tmp_path / "gen.wav")
+    cli.main([
+        "generate", "--checkpoint", tiny_checkpoint, "--prompt", "hip hop music",
+        "--steps", "2", "--seconds", "0.01", "--output", out, "--fp32",
+    ])
+    wav, sr = read_wav(out)
+    assert sr == 16000 and len(wav) == 160
+    assert np.any(wav != 0)
+
+
+def test_cli_generate_with_lora(tiny_checkpoint, tmp_path):
+    from safetensors.numpy import save_file
+
+    from audioldm_tpu.ckpt import load_audioldm_checkpoint
+    from audioldm_tpu.config import LoRAConfig
+    from audioldm_tpu.lora import export_peft_state_dict, init_lora
+
+    bundle = load_audioldm_checkpoint(tiny_checkpoint)
+    lora = init_lora(jax.random.PRNGKey(1), bundle["params"]["unet"], LoRAConfig(r=2, lora_alpha=4))
+    lora = jax.tree.map(lambda x: x + 0.05, lora)
+    lora_path = str(tmp_path / "model.safetensors")
+    save_file({k: np.asarray(v) for k, v in export_peft_state_dict(lora).items()}, lora_path)
+
+    out = str(tmp_path / "gen_lora.wav")
+    cli.main([
+        "generate", "--checkpoint", tiny_checkpoint, "--prompt", "hip hop music",
+        "--lora", lora_path, "--lora-alpha", "4",
+        "--steps", "2", "--seconds", "0.01", "--output", out, "--fp32",
+    ])
+    base = str(tmp_path / "gen_base.wav")
+    cli.main([
+        "generate", "--checkpoint", tiny_checkpoint, "--prompt", "hip hop music",
+        "--steps", "2", "--seconds", "0.01", "--output", base, "--fp32",
+    ])
+    a, _ = read_wav(out)
+    b, _ = read_wav(base)
+    assert np.max(np.abs(a - b)) > 1e-5  # merged adapter changed the output
+
+
+def test_cli_slice(tmp_path, rng):
+    wav_dir = tmp_path / "wavs"
+    wav_dir.mkdir()
+    write_wav(str(wav_dir / "a.wav"), rng.uniform(-0.5, 0.5, 32000).astype(np.float32), 16000)
+    out_dir = str(tmp_path / "segs")
+    cli.main(["slice", "--input", str(wav_dir), "--output", out_dir, "--seconds", "1.0"])
+    assert len([f for f in os.listdir(out_dir) if f.endswith(".wav")]) == 2
+
+
+@pytest.fixture(scope="module")
+def tiny_clap_dir(tmp_path_factory):
+    import torch
+    from safetensors.torch import save_file
+    from transformers import ClapAudioConfig as HFAudio
+    from transformers import ClapConfig, ClapModel
+    from transformers import ClapTextConfig as HFText
+
+    d = str(tmp_path_factory.mktemp("clap"))
+    text_cfg = dict(vocab_size=512, hidden_size=16, num_hidden_layers=1, num_attention_heads=2,
+                    intermediate_size=32, max_position_embeddings=100, projection_dim=8)
+    # audio tower must accept the real 48 kHz feature geometry: 64 mel bins,
+    # 1001 frames -> spec_size 256
+    audio_cfg = dict(window_size=4, num_mel_bins=64, spec_size=256, patch_size=4,
+                     patch_stride=[4, 4], patch_embeds_hidden_size=4, depths=[1, 1],
+                     num_attention_heads=[1, 2], hidden_size=8, projection_dim=8,
+                     enable_fusion=True, aff_block_r=4)
+    torch.manual_seed(0)
+    model = ClapModel(ClapConfig(text_config=text_cfg, audio_config=audio_cfg, projection_dim=8)).eval()
+    sd = {k: v.contiguous() for k, v in model.state_dict().items()}
+    save_file(sd, os.path.join(d, "model.safetensors"))
+    with open(os.path.join(d, "config.json"), "w") as f:
+        json.dump({"text_config": text_cfg, "audio_config": audio_cfg}, f)
+    _write_tokenizer_files(d)
+    return d
+
+
+def test_cli_score(tiny_clap_dir, tmp_path, rng):
+    gen_dir = tmp_path / "gen"
+    ref_dir = tmp_path / "ref"
+    gen_dir.mkdir(), ref_dir.mkdir()
+    for i in range(3):
+        write_wav(str(gen_dir / f"g{i}.wav"), rng.uniform(-0.4, 0.4, 8000).astype(np.float32), 16000)
+        write_wav(str(ref_dir / f"r{i}.wav"), rng.uniform(-0.4, 0.4, 8000).astype(np.float32), 16000)
+    out = str(tmp_path / "scores.json")
+    cli.main([
+        "score", "--checkpoint", tiny_clap_dir, "--generated", str(gen_dir),
+        "--reference", str(ref_dir), "--prompt", "hip hop music", "--output", out,
+    ])
+    results = json.load(open(out))
+    assert results["num_generated"] == 3
+    assert 0.0 <= results["clap_score_mean"] <= 1.0
+    assert np.isfinite(results["kad"])
