@@ -233,6 +233,8 @@ class DataPipeline:
         add_ons: Sequence[str] = (),
         trim: bool = False,
         max_text_length: int = 512,
+        freqm: int = 0,
+        timem: int = 0,
     ):
         self.dataset = dataset
         self.tokenizer = tokenizer
@@ -240,6 +242,8 @@ class DataPipeline:
         self.add_ons = [PLUGINS[a] for a in add_ons]
         self.trim = trim
         self.max_text_length = max_text_length
+        self.freqm = freqm  # spec-augment (reference: datasets.py:430-442)
+        self.timem = timem
         cfg = mel_cfg
         self._mel_fn = jax.jit(lambda w: log_mel_spectrogram(w, cfg, return_stft=True))
 
@@ -271,6 +275,10 @@ class DataPipeline:
             starts.append(start)
         waveforms = np.stack(wavs)  # [B, num_samples]
         log_mel, stft = self._mel_fn(jnp.asarray(waveforms))
+        if self.freqm > 0:
+            log_mel = frequency_masking(log_mel, self.freqm, rng)
+        if self.timem > 0:
+            log_mel = time_masking(log_mel, self.timem, rng)
         tok = self.tokenizer(captions, max_length=self.max_text_length)
         batch = {
             "log_mel_spec": log_mel[..., None],  # NHWC
