@@ -148,14 +148,19 @@ def denoise(
     lora: Optional[dict] = None,
     lora_scale: float = 1.0,
     dtype=jnp.float32,
+    eta: float = 0.0,
+    rng: Optional[jax.Array] = None,
 ) -> jnp.ndarray:
-    """CFG-batched DDIM loop as one ``lax.scan``."""
+    """CFG-batched DDIM loop as one ``lax.scan`` (eta>0 adds the stochastic
+    DDIM variance term; the reference drives the deterministic eta=0 path)."""
     schedule = make_schedule(modules.ddim_cfg)
     ts = inference_timesteps(modules.ddim_cfg, num_inference_steps)
     step_ratio = modules.ddim_cfg.num_train_timesteps // num_inference_steps
     prev_ts = ts - step_ratio
     ts_dev = jnp.asarray(ts)
     prev_dev = jnp.asarray(prev_ts)
+    if eta > 0.0 and rng is None:
+        raise ValueError("eta > 0 requires an rng")
 
     do_cfg = uncond_embeds is not None and guidance_scale != 1.0
     if do_cfg:
@@ -181,7 +186,11 @@ def denoise(
         if do_cfg:
             eps_u, eps_c = eps[:b], eps[b:]
             eps = eps_u + guidance_scale * (eps_c - eps_u)
-        lat = ddim_step(schedule, eps, t, prev_dev[idx], lat)
+        if eta > 0.0:
+            noise = jax.random.normal(jax.random.fold_in(rng, idx), lat.shape, jnp.float32)
+            lat = ddim_step(schedule, eps, t, prev_dev[idx], lat, eta=eta, noise=noise)
+        else:
+            lat = ddim_step(schedule, eps, t, prev_dev[idx], lat)
         return lat, None
 
     latents, _ = jax.lax.scan(body, latents.astype(jnp.float32), jnp.arange(len(ts)))
@@ -201,11 +210,15 @@ def generate(
     lora: Optional[dict] = None,
     lora_scale: float = 1.0,
     dtype=jnp.float32,
+    num_waveforms_per_prompt: int = 1,
+    eta: float = 0.0,
 ) -> jnp.ndarray:
-    """Full text->audio path. Returns waveform ``[B, samples]`` float32.
+    """Full text->audio path. Returns waveform ``[B*num_waveforms, samples]``
+    float32.
 
     Defaults mirror the reference workloads: 50 DDIM steps / 10 s
-    (generate_audio.py:49-50), lib-default guidance 2.5 (SURVEY.md §2b).
+    (generate_audio.py:49-50), lib-default guidance 2.5, 1 waveform/prompt
+    (SURVEY.md §2b).
     """
     b = input_ids.shape[0]
     voc = modules.vocoder_cfg
@@ -214,15 +227,19 @@ def generate(
 
     cond = encode_prompt(modules, input_ids, attention_mask)
     uncond = encode_prompt(modules, uncond_ids, uncond_mask)
-    if uncond.shape[0] == 1 and b > 1:
-        uncond = jnp.broadcast_to(uncond, cond.shape)
+    if num_waveforms_per_prompt > 1:
+        cond = jnp.repeat(cond, num_waveforms_per_prompt, axis=0)
+        b = b * num_waveforms_per_prompt
+    if uncond.shape[0] != b:
+        uncond = jnp.broadcast_to(uncond[:1], cond.shape)
 
+    rng, noise_rng = jax.random.split(rng)
     shape = latent_shape(modules, b, audio_length_in_s)
-    latents = jax.random.normal(rng, shape, jnp.float32)
+    latents = jax.random.normal(noise_rng, shape, jnp.float32)
 
     latents = denoise(
         modules, latents, cond, uncond, num_inference_steps, guidance_scale,
-        lora=lora, lora_scale=lora_scale, dtype=dtype,
+        lora=lora, lora_scale=lora_scale, dtype=dtype, eta=eta, rng=rng,
     )
 
     mel = vae_lib.decode(modules.vae, modules.vae_cfg, (latents / modules.vae_cfg.scaling_factor).astype(dtype))

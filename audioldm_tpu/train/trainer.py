@@ -256,7 +256,20 @@ class Trainer:
         )
 
     # -- loop ---------------------------------------------------------------
-    def fit(self, state: TrainState, data_iter, rng: jax.Array, max_steps: Optional[int] = None):
+    def fit(
+        self,
+        state: TrainState,
+        data_iter,
+        rng: jax.Array,
+        max_steps: Optional[int] = None,
+        validate_every: Optional[int] = None,
+        validate_fn=None,
+    ):
+        """Step loop with checkpointing and optional periodic validation —
+        the reference runs log_validation every ``validation_epochs`` epochs
+        (train_audioldm_lora.py:597-607); here the cadence is in steps and
+        ``validate_fn(state, step)`` is the harness hook (e.g. a closure over
+        train.validation.log_validation)."""
         max_steps = max_steps or self.train_cfg.max_train_steps
         metrics = {}
         while int(state.step) < max_steps:
@@ -274,4 +287,8 @@ class Trainer:
                 self.logger.log({"train_loss": float(metrics["loss"])}, step=step)
             if step % self.train_cfg.checkpointing_steps == 0:
                 self.save(state)
+            if validate_fn is not None and validate_every and step % validate_every == 0:
+                val = validate_fn(state, step)
+                if self.logger is not None and isinstance(val, dict):
+                    self.logger.log({k: v for k, v in val.items() if isinstance(v, float)}, step=step)
         return state, metrics

@@ -89,7 +89,8 @@ def test_guidance_one_equals_cond_only(modules):
 
     cond = _encode_prompt(modules, ids, mask)
     shape = latent_shape(modules, 1, 0.01)
-    latents = jax.random.normal(rng, shape, jnp.float32)
+    _, noise_rng = jax.random.split(rng)  # generate() splits before sampling
+    latents = jax.random.normal(noise_rng, shape, jnp.float32)
     lat = _denoise(modules, latents, cond, None, 2, 1.0)
     from audioldm_tpu.models import vae as vae_lib
     from audioldm_tpu.models.vocoder import apply_vocoder
@@ -124,3 +125,24 @@ def test_jit_generate_fn(modules):
     wav = fn(ids, mask, u_ids, u_mask, jax.random.PRNGKey(0))
     assert wav.shape == (2, 160)
     assert np.all(np.isfinite(np.asarray(wav)))
+
+
+def test_num_waveforms_per_prompt(modules):
+    ids, mask, u_ids, u_mask = _prompts()
+    wav = _generate(modules, ids, mask, u_ids, u_mask, jax.random.PRNGKey(0),
+                    num_inference_steps=2, audio_length_in_s=0.01, guidance_scale=2.0,
+                    num_waveforms_per_prompt=3)
+    assert wav.shape == (3, 160)
+    # different latent draws per waveform
+    assert np.max(np.abs(np.asarray(wav[0]) - np.asarray(wav[1]))) > 1e-7
+
+
+def test_eta_stochastic_ddim(modules):
+    ids, mask, u_ids, u_mask = _prompts()
+    kw = dict(num_inference_steps=3, audio_length_in_s=0.01, guidance_scale=2.0)
+    det = _generate(modules, ids, mask, u_ids, u_mask, jax.random.PRNGKey(5), **kw)
+    sto = _generate(modules, ids, mask, u_ids, u_mask, jax.random.PRNGKey(5), eta=1.0, **kw)
+    assert np.max(np.abs(np.asarray(det) - np.asarray(sto))) > 1e-7
+    # eta runs are reproducible per seed
+    sto2 = _generate(modules, ids, mask, u_ids, u_mask, jax.random.PRNGKey(5), eta=1.0, **kw)
+    np.testing.assert_array_equal(np.asarray(sto), np.asarray(sto2))

@@ -127,3 +127,26 @@ def test_checkpoint_save_restore_roundtrip(modules, tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
     # PEFT export written alongside
     assert (tmp_path / f"checkpoint-{int(state.step)}" / "model.safetensors").exists()
+
+
+def test_fit_with_validation_hook(modules, tmp_path):
+    lcfg = LoRAConfig(r=2, lora_alpha=2)
+    tcfg = TrainConfig(learning_rate=1e-3, checkpointing_steps=100)
+    lora = init_lora(jax.random.PRNGKey(1), modules.unet, lcfg)
+    trainer = Trainer(modules, lcfg, tcfg, str(tmp_path))
+    state = init_train_state(lora, trainer.optimizer)
+
+    calls = []
+
+    def validate(st, step):
+        calls.append(step)
+        return {"val_metric": 1.0}
+
+    def batches():
+        while True:
+            yield _batch(b=2)
+
+    state, metrics = trainer.fit(state, batches(), jax.random.PRNGKey(0),
+                                 max_steps=4, validate_every=2, validate_fn=validate)
+    assert int(state.step) == 4
+    assert calls == [2, 4]
