@@ -160,6 +160,45 @@ class ServeEngine:
                       num_inference_steps, audio_length_in_s, guidance_scale, with_lora=True)
         return np.asarray(fn(ids, mask, u_ids, u_mask, rng, lora))
 
+    def submit(self, prompt: str, adapter: Optional[str] = None) -> int:
+        """Queue a request for microbatched execution; returns a ticket.
+        Production framing for BASELINE config 5: callers enqueue
+        (prompt, adapter) pairs and ``flush`` runs them as one CFG-folded,
+        adapter-gathered batch."""
+        if not hasattr(self, "_queue"):
+            self._queue: list[tuple[str, Optional[str]]] = []
+        self._queue.append((prompt, adapter))
+        return len(self._queue) - 1
+
+    def flush(
+        self,
+        num_inference_steps: int = 50,
+        audio_length_in_s: float = 10.0,
+        guidance_scale: float = 2.5,
+        seed: int = 0,
+        max_batch: Optional[int] = None,
+    ) -> np.ndarray:
+        """Run all queued requests (optionally in max_batch chunks) and
+        return waveforms in submission order."""
+        queue = getattr(self, "_queue", [])
+        self._queue = []
+        if not queue:
+            return np.zeros((0, 0), np.float32)
+        outs = []
+        chunk = max_batch or len(queue)
+        for i in range(0, len(queue), chunk):
+            part = queue[i : i + chunk]
+            prompts = [p for p, _ in part]
+            adapters = [a for _, a in part]
+            outs.append(
+                self.generate(
+                    prompts, adapters=adapters, num_inference_steps=num_inference_steps,
+                    audio_length_in_s=audio_length_in_s, guidance_scale=guidance_scale,
+                    seed=seed + i,
+                )
+            )
+        return np.concatenate(outs, axis=0)
+
     def merged_modules(self, adapter_name: str) -> AudioLDMModules:
         """Merged-weight cache: zero-overhead single-adapter serving
         (W += (alpha/r) A B at load; BASELINE config 2)."""

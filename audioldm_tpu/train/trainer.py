@@ -76,10 +76,14 @@ def lora_loss_fn(
     rng: jax.Array,
     lora_scale: float,
     dtype=jnp.float32,
+    remat: bool = False,
 ) -> tuple[jnp.ndarray, dict]:
     """The reference training loss, re-derived stage for stage
     (train_audioldm_lora.py:495-549). ``batch``: ``log_mel_spec`` NHWC
-    ``[B, T, F, 1]``, ``input_ids``/``attention_mask`` ``[B, L]``."""
+    ``[B, T, F, 1]``, ``input_ids``/``attention_mask`` ``[B, L]``.
+
+    ``remat=True`` rematerializes the UNet forward during backprop
+    (jax.checkpoint) — trades FLOPs for HBM when batch sizes grow."""
     k_latent, k_noise, k_t = jax.random.split(rng, 3)
     mel = batch["log_mel_spec"].astype(dtype)
 
@@ -94,15 +98,15 @@ def lora_loss_fn(
 
     prompt = encode_prompt(modules, batch["input_ids"], batch["attention_mask"])
 
-    eps_pred = apply_unet(
-        modules.unet,
-        modules.unet_cfg,
-        noisy.astype(dtype),
-        t,
-        class_labels=prompt.astype(dtype),
-        lora=lora,
-        lora_scale=lora_scale,
-    )
+    def unet_fwd(lora_, noisy_, prompt_):
+        return apply_unet(
+            modules.unet, modules.unet_cfg, noisy_, t,
+            class_labels=prompt_, lora=lora_, lora_scale=lora_scale,
+        )
+
+    if remat:
+        unet_fwd = jax.checkpoint(unet_fwd)
+    eps_pred = unet_fwd(lora, noisy.astype(dtype), prompt.astype(dtype))
     loss = jnp.mean((eps_pred.astype(jnp.float32) - noise) ** 2)
     return loss, {"loss": loss}
 
@@ -114,6 +118,7 @@ def make_train_step(
     mesh: Optional[Mesh] = None,
     dtype=jnp.float32,
     grad_accum: int = 1,
+    remat: bool = False,
 ) -> Callable:
     """Build the jit-compiled DP train step.
 
@@ -123,7 +128,7 @@ def make_train_step(
 
     def step_fn(mods: AudioLDMModules, state: TrainState, batch: dict, rng: jax.Array):
         def loss_for(lora, mb, key):
-            return lora_loss_fn(lora, mods, mb, key, lora_cfg.scale, dtype)
+            return lora_loss_fn(lora, mods, mb, key, lora_cfg.scale, dtype, remat=remat)
 
         if grad_accum == 1:
             (loss, metrics), grads = jax.value_and_grad(loss_for, has_aux=True)(state.lora, batch, rng)
@@ -186,16 +191,22 @@ class Trainer:
         mesh: Optional[Mesh] = None,
         dtype=jnp.float32,
         logger=None,
+        remat: bool = False,
+        debug_nans: bool = False,
     ):
         self.modules = modules
         self.lora_cfg = lora_cfg
         self.train_cfg = train_cfg
         self.output_dir = output_dir
         self.mesh = mesh
+        if debug_nans:
+            # sanitizer equivalent (SURVEY.md §5: the reference has none);
+            # aborts on the first NaN-producing op in CI/debug runs
+            jax.config.update("jax_debug_nans", True)
         self.optimizer = make_optimizer(train_cfg)
         self.step_fn = make_train_step(
             modules, self.optimizer, lora_cfg, mesh=mesh, dtype=dtype,
-            grad_accum=train_cfg.gradient_accumulation_steps,
+            grad_accum=train_cfg.gradient_accumulation_steps, remat=remat,
         )
         self.logger = logger
         self._ckpt_mgr = None

@@ -109,3 +109,16 @@ def test_serve_dp_mesh_matches_single(engine):
     plain = engine.generate(prompts, adapters=adapters, **GEN)
     assert sharded.shape == (8, 160)
     np.testing.assert_allclose(sharded, plain, atol=1e-5)
+
+
+def test_submit_flush_microbatching(engine):
+    t0 = engine.submit("hip hop beat", "hiphop")
+    t1 = engine.submit("hip hop beat", None)
+    t2 = engine.submit("hip hop beat", "jazz")
+    assert (t0, t1, t2) == (0, 1, 2)
+    wavs = engine.flush(num_inference_steps=2, audio_length_in_s=0.01,
+                        guidance_scale=2.0, seed=0, max_batch=2)
+    assert wavs.shape == (3, 160)
+    assert np.all(np.isfinite(wavs))
+    # queue drained
+    assert engine.flush().size == 0

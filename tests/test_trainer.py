@@ -150,3 +150,14 @@ def test_fit_with_validation_hook(modules, tmp_path):
                                  max_steps=4, validate_every=2, validate_fn=validate)
     assert int(state.step) == 4
     assert calls == [2, 4]
+
+
+def test_remat_matches_standard_grads(modules):
+    lcfg = LoRAConfig(r=2, lora_alpha=2)
+    lora = init_lora(jax.random.PRNGKey(1), modules.unet, lcfg)
+    batch = _batch(b=2)
+    rng = jax.random.PRNGKey(0)
+    g1 = jax.grad(lambda l: lora_loss_fn(l, modules, batch, rng, lcfg.scale)[0])(lora)
+    g2 = jax.grad(lambda l: lora_loss_fn(l, modules, batch, rng, lcfg.scale, remat=True)[0])(lora)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
