@@ -283,6 +283,10 @@ class Trainer:
         train.validation.log_validation)."""
         max_steps = max_steps or self.train_cfg.max_train_steps
         metrics = {}
+        total_loss, total_steps = 0.0, 0
+        lr_sched = optax.polynomial_schedule(
+            self.train_cfg.learning_rate, 1e-7, 1.0, max(self.train_cfg.max_train_steps, 1)
+        )
         while int(state.step) < max_steps:
             batch = next(data_iter, None)
             if batch is None:
@@ -294,8 +298,20 @@ class Trainer:
                 batch = shard_batch(self.mesh, batch)
             state, metrics = self.step_fn(state, batch, key)
             step = int(state.step)
+            total_loss += float(metrics["loss"])
+            total_steps += 1
             if self.logger is not None:
-                self.logger.log({"train_loss": float(metrics["loss"])}, step=step)
+                # metric names mirror the reference's wandb keys
+                # (train_audioldm_lora.py:570,583-591)
+                self.logger.log(
+                    {
+                        "train_loss": float(metrics["loss"]),
+                        "total_train_loss": total_loss / total_steps,
+                        "lr": float(lr_sched(step)),
+                        "grad_norm": float(metrics.get("grad_norm", 0.0)),
+                    },
+                    step=step,
+                )
             if step % self.train_cfg.checkpointing_steps == 0:
                 self.save(state)
             if validate_fn is not None and validate_every and step % validate_every == 0:
