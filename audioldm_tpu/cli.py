@@ -36,6 +36,7 @@ def _add_generate(sub):
     p.add_argument("--steps", type=int, default=50)
     p.add_argument("--seconds", type=float, default=10.0)
     p.add_argument("--guidance", type=float, default=2.5)
+    p.add_argument("--scheduler", default="ddim", choices=["ddim", "dpm++"])
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--output", default="output.wav")
@@ -71,6 +72,7 @@ def cmd_generate(args):
     fn = make_generate_fn(
         modules, num_inference_steps=args.steps, audio_length_in_s=args.seconds,
         guidance_scale=args.guidance, dtype=jnp.float32 if args.fp32 else jnp.bfloat16,
+        scheduler=args.scheduler,
     )
     wav = np.asarray(
         fn(

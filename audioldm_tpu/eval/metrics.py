@@ -29,11 +29,29 @@ def clap_similarity(audio_embed: jnp.ndarray, text_embed: jnp.ndarray) -> jnp.nd
     return (sim + 1.0) / 2.0
 
 
-def median_pairwise_distance(x: jnp.ndarray) -> jnp.ndarray:
+def median_pairwise_distance(
+    x: jnp.ndarray,
+    subsample: int | None = None,
+    rng=None,
+) -> jnp.ndarray:
     """Median euclidean distance over the strict upper triangle (torch.pdist
-    semantics, train_audioldm_lora.py:234-245)."""
+    semantics, train_audioldm_lora.py:234-245). With ``subsample`` (the
+    reference's large-set branch, :237-242): median over ``subsample`` random
+    pairs, self-pairs shifted to the next row."""
     x = x.astype(jnp.float32)
     n = x.shape[0]
+    if subsample is not None and subsample < n * (n - 1) / 2:
+        import jax
+
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        k1, k2 = jax.random.split(rng)
+        idx1 = jax.random.randint(k1, (subsample,), 0, n)
+        idx2 = jax.random.randint(k2, (subsample,), 0, n)
+        idx2 = jnp.where(idx1 == idx2, (idx2 + 1) % n, idx2)
+        d = jnp.sqrt(jnp.sum((x[idx1] - x[idx2]) ** 2, axis=1))
+        pair = jnp.sort(d)
+        return pair[(pair.shape[0] - 1) // 2]
     sq = jnp.sum(x * x, axis=1)
     d2 = sq[:, None] + sq[None, :] - 2.0 * (x @ x.T)
     d = jnp.sqrt(jnp.maximum(d2, 0.0))

@@ -38,10 +38,10 @@ _PROJ_NAMES = ("to_q", "to_k", "to_v", "to_out")
 
 
 def iter_lora_paths(params: dict, target_modules: Sequence[str]) -> Iterator[tuple[tuple[str, ...], dict]]:
-    """Yield (path, linear-params) for every attention projection in
-    ``params`` whose leaf name is in ``target_modules``. Only descends into
-    attention blocks (attn1/attn2/attentions), mirroring peft's behavior of
-    targeting modules by leaf name inside the UNet."""
+    """Yield (path, linear-params) for every 2-D linear in ``params`` whose
+    leaf module name is in ``target_modules`` (to_q/to_k/to_v/to_out live
+    only inside attention blocks), mirroring peft's match-by-leaf-name
+    targeting (train_audioldm_lora.py:378-383)."""
 
     def walk(tree: dict, path: tuple[str, ...]):
         for k, v in tree.items():

@@ -150,9 +150,13 @@ def denoise(
     dtype=jnp.float32,
     eta: float = 0.0,
     rng: Optional[jax.Array] = None,
+    scheduler: str = "ddim",
 ) -> jnp.ndarray:
-    """CFG-batched DDIM loop as one ``lax.scan`` (eta>0 adds the stochastic
-    DDIM variance term; the reference drives the deterministic eta=0 path)."""
+    """CFG-batched denoise loop as one ``lax.scan``.
+
+    ``scheduler``: "ddim" (the reference's sampler; eta>0 adds the stochastic
+    variance term) or "dpm++" (DPM-Solver++ 2M — comparable quality in
+    ~20-25 steps, a capability beyond the reference)."""
     schedule = make_schedule(modules.ddim_cfg)
     ts = inference_timesteps(modules.ddim_cfg, num_inference_steps)
     step_ratio = modules.ddim_cfg.num_train_timesteps // num_inference_steps
@@ -161,6 +165,8 @@ def denoise(
     prev_dev = jnp.asarray(prev_ts)
     if eta > 0.0 and rng is None:
         raise ValueError("eta > 0 requires an rng")
+    if scheduler not in ("ddim", "dpm++"):
+        raise ValueError(f"unknown scheduler: {scheduler}")
 
     do_cfg = uncond_embeds is not None and guidance_scale != 1.0
     if do_cfg:
@@ -169,9 +175,7 @@ def denoise(
         embeds = cond_embeds
     b = latents.shape[0]
 
-    def body(carry, idx):
-        lat = carry
-        t = ts_dev[idx]
+    def predict_eps(lat, t):
         model_in = jnp.concatenate([lat, lat], axis=0) if do_cfg else lat
         t_b = jnp.broadcast_to(t, (model_in.shape[0],))
         eps = apply_unet(
@@ -186,6 +190,28 @@ def denoise(
         if do_cfg:
             eps_u, eps_c = eps[:b], eps[b:]
             eps = eps_u + guidance_scale * (eps_c - eps_u)
+        return eps
+
+    if scheduler == "dpm++":
+        from audioldm_tpu.models.dpm_solver import dpm_solver_step
+
+        def body(carry, idx):
+            lat, prev_x0, prev_lambda = carry
+            t = ts_dev[idx]
+            eps = predict_eps(lat, t)
+            lat, x0, lam_t = dpm_solver_step(
+                schedule, eps, t, prev_dev[idx], lat, prev_x0, prev_lambda, is_first=idx == 0
+            )
+            return (lat, x0, lam_t), None
+
+        init = (latents.astype(jnp.float32), jnp.zeros_like(latents, jnp.float32), jnp.asarray(0.0))
+        (latents, _, _), _ = jax.lax.scan(body, init, jnp.arange(len(ts)))
+        return latents
+
+    def body(carry, idx):
+        lat = carry
+        t = ts_dev[idx]
+        eps = predict_eps(lat, t)
         if eta > 0.0:
             noise = jax.random.normal(jax.random.fold_in(rng, idx), lat.shape, jnp.float32)
             lat = ddim_step(schedule, eps, t, prev_dev[idx], lat, eta=eta, noise=noise)
@@ -212,6 +238,7 @@ def generate(
     dtype=jnp.float32,
     num_waveforms_per_prompt: int = 1,
     eta: float = 0.0,
+    scheduler: str = "ddim",
 ) -> jnp.ndarray:
     """Full text->audio path. Returns waveform ``[B*num_waveforms, samples]``
     float32.
@@ -240,6 +267,7 @@ def generate(
     latents = denoise(
         modules, latents, cond, uncond, num_inference_steps, guidance_scale,
         lora=lora, lora_scale=lora_scale, dtype=dtype, eta=eta, rng=rng,
+        scheduler=scheduler,
     )
 
     mel = vae_lib.decode(modules.vae, modules.vae_cfg, (latents / modules.vae_cfg.scaling_factor).astype(dtype))
@@ -254,6 +282,7 @@ def make_generate_fn(
     guidance_scale: float = 2.5,
     dtype=jnp.bfloat16,
     with_lora: bool = False,
+    scheduler: str = "ddim",
 ):
     """jit-compiled generation over the module bundle. The bundle is a jit
     ARGUMENT (configs static via the pytree registration), so params travel
@@ -265,7 +294,7 @@ def make_generate_fn(
             return generate(
                 mods, input_ids, attention_mask, uncond_ids, uncond_mask, rng,
                 num_inference_steps, audio_length_in_s, guidance_scale,
-                lora=lora, lora_scale=lora_scale, dtype=dtype,
+                lora=lora, lora_scale=lora_scale, dtype=dtype, scheduler=scheduler,
             )
 
         def fn(input_ids, attention_mask, uncond_ids, uncond_mask, rng, lora, lora_scale=1.0):
@@ -278,6 +307,7 @@ def make_generate_fn(
         return generate(
             mods, input_ids, attention_mask, uncond_ids, uncond_mask, rng,
             num_inference_steps, audio_length_in_s, guidance_scale, dtype=dtype,
+            scheduler=scheduler,
         )
 
     def fn(input_ids, attention_mask, uncond_ids, uncond_mask, rng):

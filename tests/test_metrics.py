@@ -90,3 +90,16 @@ def test_kad_bandwidth_fallback():
     ours = float(kernel_audio_distance(jnp.asarray(x), jnp.asarray(y)))
     theirs = _torch_kad(x, y)
     assert abs(ours - theirs) < 1e-4
+
+
+def test_median_pairwise_subsample_branch(rng):
+    x = rng.standard_normal((50, 8)).astype(np.float32)
+    full = float(median_pairwise_distance(jnp.asarray(x)))
+    import jax
+
+    sub = float(median_pairwise_distance(jnp.asarray(x), subsample=400, rng=jax.random.PRNGKey(0)))
+    # subsampled median is a noisy estimate of the full median
+    assert abs(sub - full) / full < 0.15
+    # large subsample count falls through to the exact branch
+    exact = float(median_pairwise_distance(jnp.asarray(x), subsample=10**6))
+    assert exact == full
