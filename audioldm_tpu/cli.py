@@ -119,13 +119,13 @@ def cmd_train(args):
     from audioldm_tpu.train.trainer import init_train_state
     from audioldm_tpu.utils import MetricLogger
 
-    run = RunConfig.from_yaml(args.config) if args.config else RunConfig()
-    if args.dataset:
-        run = __import__("dataclasses").replace(run, dataset_hub_id=args.dataset)
-    output_dir = args.output or run.output_dir
-    tcfg = run.train
     import dataclasses as _dc
 
+    run = RunConfig.from_yaml(args.config) if args.config else RunConfig()
+    if args.dataset:
+        run = _dc.replace(run, dataset_hub_id=args.dataset)
+    output_dir = args.output or run.output_dir
+    tcfg = run.train
     if args.max_steps:
         tcfg = _dc.replace(tcfg, max_train_steps=args.max_steps)
     if args.batch_size:
