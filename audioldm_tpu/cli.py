@@ -52,6 +52,11 @@ def cmd_generate(args):
     from audioldm_tpu.data.wavio import write_wav
     from audioldm_tpu.pipeline.generate import AudioLDMModules, make_generate_fn
 
+    if jax.devices()[0].platform == "tpu":
+        from audioldm_tpu.kernels import use_flash_attention
+
+        use_flash_attention(True)  # 1.7x faster sampling on TPU (PERF.md)
+
     modules = AudioLDMModules.from_checkpoint(args.checkpoint)
     if args.lora:
         from audioldm_tpu.ckpt import load_safetensors
@@ -130,6 +135,11 @@ def cmd_train(args):
         tcfg = _dc.replace(tcfg, max_train_steps=args.max_steps)
     if args.batch_size:
         tcfg = _dc.replace(tcfg, train_batch_size=args.batch_size)
+
+    if jax.devices()[0].platform == "tpu":
+        from audioldm_tpu.kernels import use_flash_attention
+
+        use_flash_attention(True)  # 1.8x faster training step on TPU (PERF.md)
 
     modules = AudioLDMModules.from_checkpoint(args.checkpoint)
     tokenizer = load_tokenizer(os.path.join(args.checkpoint, "tokenizer"))

@@ -46,7 +46,7 @@ def enabled() -> bool:
     return _ENABLED
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, scale: float):
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k: int, scale: float):
     # keep matmul INPUTS in the storage dtype (bf16 on the fast path — fp32
     # MXU matmuls are ~4x slower on v5e) and accumulate fp32.
     q = q_ref[0]  # [block_q, D]
@@ -72,13 +72,16 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, scale: float):
 
     m, l, acc = jax.lax.fori_loop(0, num_blocks, body, (m0, l0, acc0))
     o_ref[0] = (acc / l).astype(o_ref.dtype)
+    # per-row logsumexp, broadcast over the lane dim (residual for backward)
+    lse_ref[0] = jnp.broadcast_to(m + jnp.log(l), (block_q, _LANE))
 
 
 def _flash_bh(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float, interpret: bool,
     block_q: int = _BLOCK_Q, block_k: int = _BLOCK_K,
-) -> jnp.ndarray:
-    """q [BH, N, D], k/v [BH, M, D] with D lane-aligned, N % block_q == 0."""
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """q [BH, N, D], k/v [BH, M, D] with D lane-aligned, N % block_q == 0.
+    Returns (out, lse) — lse is the per-row logsumexp residual."""
     bh, n, d = q.shape
     m = k.shape[1]
     block_q = min(block_q, n)
@@ -92,10 +95,118 @@ def _flash_bh(
             pl.BlockSpec((1, m, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, m, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
+        out_specs=(
+            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, _LANE), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, n, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, n, _LANE), jnp.float32),
+        ),
+        interpret=interpret,
+    )(q, k, v)
+
+
+def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref, *, scale: float):
+    """Grad wrt K and V. Grid (bh, kv_block, q_block): the q-side operands
+    stream through the innermost grid dim (small VMEM blocks); dk/dv
+    accumulate fp32 in the resident output block across q iterations."""
+    i = pl.program_id(2)
+
+    @pl.when(i == 0)
+    def _init():
+        dk_ref[0] = jnp.zeros_like(dk_ref[0])
+        dv_ref[0] = jnp.zeros_like(dv_ref[0])
+
+    k = k_ref[0]  # [block_k, D]
+    v = v_ref[0]
+    q = q_ref[0]  # [block_q, D]
+    do = do_ref[0]
+    lse = lse_ref[0][:, 0:1]
+    delta = delta_ref[0][:, 0:1]
+    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale  # [bq, bk]
+    p = jnp.exp(s - lse)
+    dv_ref[0] += jnp.dot(p.astype(do.dtype).T, do, preferred_element_type=jnp.float32)
+    dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)  # [bq, bk]
+    ds = p * (dp - delta) * scale
+    dk_ref[0] += jnp.dot(ds.astype(q.dtype).T, q, preferred_element_type=jnp.float32)
+
+
+def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *, block_k: int, scale: float):
+    """Grad wrt Q for one q block: loop over kv blocks, recompute P."""
+    q = q_ref[0]  # [block_q, D]
+    do = do_ref[0]
+    lse = lse_ref[0][:, 0:1]
+    delta = delta_ref[0][:, 0:1]
+    block_q, d = q.shape
+    n_kv = k_ref.shape[1]
+    num_blocks = n_kv // block_k
+
+    def body(i, dq):
+        k = k_ref[0, pl.ds(i * block_k, block_k), :]
+        v = v_ref[0, pl.ds(i * block_k, block_k), :]
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+        p = jnp.exp(s - lse)
+        dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
+        ds = p * (dp - delta) * scale
+        return dq + jnp.dot(ds.astype(k.dtype), k, preferred_element_type=jnp.float32)
+
+    dq = jax.lax.fori_loop(0, num_blocks, body, jnp.zeros((block_q, d), jnp.float32))
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+
+
+def _flash_bwd_bh(q, k, v, o, lse, do, scale: float, interpret: bool,
+                  block_q: int = _BLOCK_Q, block_k: int = _BLOCK_K):
+    """Streaming flash backward: never materializes the [N, M] matrix in HBM.
+    delta = rowsum(dO * O) is a cheap XLA elementwise reduce."""
+    bh, n, d = q.shape
+    m = k.shape[1]
+    block_q = min(block_q, n)
+    block_k = min(block_k, m)
+    delta = jnp.broadcast_to(
+        jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1, keepdims=True), (bh, n, _LANE)
+    )
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_dkv_kernel, scale=scale),
+        grid=(bh, m // block_k, n // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, j, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, d), lambda b, j, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, _LANE), lambda b, j, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, _LANE), lambda b, j, i: (b, i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, m, d), jnp.float32),
+            jax.ShapeDtypeStruct((bh, m, d), jnp.float32),
+        ),
+        interpret=interpret,
+    )(q, k, v, do, lse, delta)
+    dk = dk.astype(q.dtype)
+    dv = dv.astype(q.dtype)
+
+    dq = pl.pallas_call(
+        functools.partial(_flash_bwd_dq_kernel, block_k=block_k, scale=scale),
+        grid=(bh, n // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, _LANE), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, _LANE), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+        ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bh, n, d), q.dtype),
         interpret=interpret,
-    )(q, k, v)
+    )(q, k, v, do, lse, delta)
+    return dq, dk, dv
 
 
 def supported(n: int, m: int, d: int) -> bool:
@@ -109,31 +220,30 @@ def supported(n: int, m: int, d: int) -> bool:
     )
 
 
-def _flash_fwd_impl(q, k, v, interpret=False, block_q=None, block_k=None):
+def _pad_reshape(q, k, v):
     b, h, n, d = q.shape
     m = k.shape[2]
-    scale = 1.0 / math.sqrt(d)
     pad = (-d) % _LANE
     if pad:
         padding = ((0, 0), (0, 0), (0, 0), (0, pad))
         q, k, v = (jnp.pad(t, padding) for t in (q, k, v))
-    out = _flash_bh(
-        q.reshape(b * h, n, d + pad),
-        k.reshape(b * h, m, d + pad),
-        v.reshape(b * h, m, d + pad),
-        scale,
-        interpret,
-        block_q=block_q or _BLOCK_Q,
-        block_k=block_k or _BLOCK_K,
+    dp = d + pad
+    return (
+        q.reshape(b * h, n, dp),
+        k.reshape(b * h, m, dp),
+        v.reshape(b * h, m, dp),
+        (b, h, n, m, d, dp),
     )
-    return out.reshape(b, h, n, d + pad)[..., :d]
 
 
-def _xla_sdpa(q, k, v):
+def _flash_fwd_impl(q, k, v, interpret=False, block_q=None, block_k=None):
     scale = 1.0 / math.sqrt(q.shape[-1])
-    logits = jnp.einsum("bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32) * scale
-    w = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
-    return jnp.einsum("bhnm,bhmd->bhnd", w, v, preferred_element_type=jnp.float32).astype(q.dtype)
+    qp, kp, vp, (b, h, n, m, d, dp) = _pad_reshape(q, k, v)
+    out, _ = _flash_bh(
+        qp, kp, vp, scale, interpret,
+        block_q=block_q or _BLOCK_Q, block_k=block_k or _BLOCK_K,
+    )
+    return out.reshape(b, h, n, dp)[..., :d]
 
 
 @jax.custom_vjp
@@ -142,15 +252,29 @@ def _flash(q, k, v):
 
 
 def _flash_vjp_fwd(q, k, v):
-    # Pallas forward; save inputs for an XLA-derived backward (the LoRA
-    # trainer differentiates through attention outputs, SURVEY.md §3.1).
-    return _flash_fwd_impl(q, k, v), (q, k, v)
+    scale = 1.0 / math.sqrt(q.shape[-1])
+    qp, kp, vp, meta = _pad_reshape(q, k, v)
+    out_bh, lse = _flash_bh(qp, kp, vp, scale, False)
+    b, h, n, m, d, dp = meta
+    return out_bh.reshape(b, h, n, dp)[..., :d], (qp, kp, vp, out_bh, lse, meta)
 
 
 def _flash_vjp_bwd(res, g):
-    q, k, v = res
-    _, vjp = jax.vjp(_xla_sdpa, q, k, v)
-    return vjp(g)
+    # streaming Pallas backward (the LoRA trainer differentiates through
+    # attention outputs, SURVEY.md §3.1) — recomputes P per block, never
+    # writes the [N, M] matrix to HBM.
+    qp, kp, vp, out_bh, lse, (b, h, n, m, d, dp) = res
+    scale = 1.0 / math.sqrt(d)
+    pad = dp - d
+    do = g
+    if pad:
+        do = jnp.pad(do, ((0, 0), (0, 0), (0, 0), (0, pad)))
+    do = do.reshape(b * h, n, dp).astype(qp.dtype)
+    dq, dk, dv = _flash_bwd_bh(qp, kp, vp, out_bh, lse, do, scale, False)
+    dq = dq.reshape(b, h, n, dp)[..., :d]
+    dk = dk.reshape(b, h, m, dp)[..., :d]
+    dv = dv.reshape(b, h, m, dp)[..., :d]
+    return dq, dk, dv
 
 
 _flash.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)

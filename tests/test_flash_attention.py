@@ -46,3 +46,35 @@ def test_sdpa_routes_through_flash(rng, monkeypatch):
     finally:
         use_flash_attention(False)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_flash_backward_matches_xla_vjp(rng):
+    """Streaming Pallas backward vs XLA attention VJP (interpret mode)."""
+    import math
+
+    from audioldm_tpu.kernels.flash_attention import (
+        _flash_bh,
+        _flash_bwd_bh,
+        _pad_reshape,
+    )
+
+    b, h, n, d = 1, 2, 256, 16
+    q = jnp.asarray(rng.standard_normal((b, h, n, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, h, n, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, h, n, d)).astype(np.float32))
+    g = jnp.asarray(rng.standard_normal((b, h, n, d)).astype(np.float32))
+
+    out_ref, vjp = jax.vjp(sdpa, q, k, v)
+    dq_ref, dk_ref, dv_ref = vjp(g)
+
+    scale = 1.0 / math.sqrt(d)
+    qp, kp, vp, (b_, h_, n_, m_, d_, dp) = _pad_reshape(q, k, v)
+    out_bh, lse = _flash_bh(qp, kp, vp, scale, True)
+    np.testing.assert_allclose(
+        np.asarray(out_bh.reshape(b, h, n, dp)[..., :d]), np.asarray(out_ref), atol=2e-5
+    )
+    do = jnp.pad(g, ((0, 0), (0, 0), (0, 0), (0, dp - d))).reshape(b * h, n, dp)
+    dq, dk, dv = _flash_bwd_bh(qp, kp, vp, out_bh, lse, do, scale, True)
+    np.testing.assert_allclose(np.asarray(dq.reshape(b, h, n, dp)[..., :d]), np.asarray(dq_ref), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(dk.reshape(b, h, n, dp)[..., :d]), np.asarray(dk_ref), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(dv.reshape(b, h, n, dp)[..., :d]), np.asarray(dv_ref), atol=5e-5)
