@@ -93,13 +93,14 @@ class UNetConfig:
         keys = {f.name for f in dataclasses.fields(cls)}
         return cls(**{k: _freeze(v) for k, v in d.items() if k in keys})
 
-    def num_heads(self, channels: int) -> int:
-        # diffusers naming bug: `attention_head_dim` is historically the number
-        # of attention heads for UNet2DConditionModel.
+    def num_heads(self, level: int) -> int:
+        """Attention head count for down-block level ``level`` (0-based;
+        up blocks pass ``len(block_out_channels)-1-i``). NB diffusers naming
+        bug: `attention_head_dim` is historically the head COUNT for
+        UNet2DConditionModel."""
         ahd = self.attention_head_dim
         if isinstance(ahd, (tuple, list)):
-            idx = list(self.block_out_channels).index(channels)
-            return int(ahd[idx])
+            return int(ahd[level])
         return int(ahd)
 
 

@@ -207,7 +207,7 @@ def init_unet(key, cfg: UNetConfig = UNetConfig()) -> dict:
         in_ch = out_ch
         out_ch = cfg.block_out_channels[i]
         is_final = i == len(cfg.down_block_types) - 1
-        heads = cfg.num_heads(out_ch)
+        heads = cfg.num_heads(i)
         blk: dict = {"resnets": {}, }
         if "CrossAttn" in block_type:
             blk["attentions"] = {}
@@ -230,7 +230,7 @@ def init_unet(key, cfg: UNetConfig = UNetConfig()) -> dict:
             "1": init_resnet(nk(), mid_ch, mid_ch, temb_cat, cfg.norm_num_groups),
         },
         "attentions": {
-            "0": init_transformer2d(nk(), mid_ch, cfg.num_heads(mid_ch), cfg.transformer_layers_per_block, cfg.cross_attention_dim)
+            "0": init_transformer2d(nk(), mid_ch, cfg.num_heads(len(cfg.block_out_channels) - 1), cfg.transformer_layers_per_block, cfg.cross_attention_dim)
         },
     }
 
@@ -243,7 +243,7 @@ def init_unet(key, cfg: UNetConfig = UNetConfig()) -> dict:
         out_ch = rev[i]
         in_ch = rev[min(i + 1, len(rev) - 1)]
         is_final = i == len(cfg.up_block_types) - 1
-        heads = cfg.num_heads(out_ch)
+        heads = cfg.num_heads(len(rev) - 1 - i)
         blk = {"resnets": {}}
         if "CrossAttn" in block_type:
             blk["attentions"] = {}
@@ -311,7 +311,7 @@ def apply_unet(
     for i, block_type in enumerate(cfg.down_block_types):
         blk = params["down_blocks"][str(i)]
         blora = _sub(lora, "down_blocks", i)
-        heads = cfg.num_heads(cfg.block_out_channels[i])
+        heads = cfg.num_heads(i)
         for j in range(cfg.layers_per_block):
             sample = apply_resnet(blk["resnets"][str(j)], sample, emb, groups, eps, act)
             if "CrossAttn" in block_type:
@@ -326,7 +326,7 @@ def apply_unet(
 
     mid = params["mid_block"]
     mlora = _sub(lora, "mid_block")
-    mid_heads = cfg.num_heads(cfg.block_out_channels[-1])
+    mid_heads = cfg.num_heads(len(cfg.block_out_channels) - 1)
     sample = apply_resnet(mid["resnets"]["0"], sample, emb, groups, eps, act)
     sample = apply_transformer2d(
         mid["attentions"]["0"], sample, context, mid_heads, groups,
@@ -338,7 +338,7 @@ def apply_unet(
     for i, block_type in enumerate(cfg.up_block_types):
         blk = params["up_blocks"][str(i)]
         blora = _sub(lora, "up_blocks", i)
-        heads = cfg.num_heads(rev[i])
+        heads = cfg.num_heads(len(rev) - 1 - i)
         for j in range(cfg.layers_per_block + 1):
             skip = skips.pop()
             sample = jnp.concatenate([sample, skip], axis=-1)
