@@ -313,14 +313,46 @@ class DataPipeline:
         shuffle: bool = True,
         drop_last: bool = True,
         epochs: Optional[int] = None,
+        prefetch: int = 0,
     ) -> Iterator[dict]:
-        epoch = 0
-        n = len(self.dataset)
-        while epochs is None or epoch < epochs:
-            order = rng.permutation(n) if shuffle else np.arange(n)
-            for i in range(0, n - (batch_size - 1 if drop_last else 0), batch_size):
-                idx = order[i : i + batch_size]
-                if len(idx) == 0:
-                    continue
-                yield self.make_batch(list(idx), rng)
-            epoch += 1
+        """Batch iterator. ``prefetch > 0`` builds batches in a background
+        thread (the TPU-side analogue of the reference's 4 dataloader worker
+        subprocesses, train_audioldm_lora.py:430-436 — here host prep overlaps
+        the device step instead of competing with it)."""
+
+        def gen():
+            epoch = 0
+            n = len(self.dataset)
+            while epochs is None or epoch < epochs:
+                order = rng.permutation(n) if shuffle else np.arange(n)
+                for i in range(0, n - (batch_size - 1 if drop_last else 0), batch_size):
+                    idx = order[i : i + batch_size]
+                    if len(idx) == 0:
+                        continue
+                    yield self.make_batch(list(idx), rng)
+                epoch += 1
+
+        if prefetch <= 0:
+            yield from gen()
+            return
+
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+        stop = object()
+
+        def worker():
+            try:
+                for item in gen():
+                    q.put(item)
+            finally:
+                q.put(stop)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield item

@@ -172,3 +172,18 @@ def test_spec_augment_masks():
 
     lv = label_vector("drums, bass", {"drums": 0, "bass": 3, "piano": 5}, 8)
     np.testing.assert_array_equal(np.where(lv == 1.0)[0], [0, 3])
+
+
+def test_pipeline_prefetch_thread(bpe_files, rng):
+    vocab, merges = bpe_files
+    tok = RobertaBPETokenizer.from_files(vocab, merges)
+    items = [
+        {"wav": (rng.standard_normal(6000) * 0.4).astype(np.float32), "sr": 16000, "caption": f"clip {i}"}
+        for i in range(5)
+    ]
+    pipe = DataPipeline(AudioCaptionDataset(items), tok, SMALL_MEL, max_text_length=8)
+    plain = list(pipe.batches(2, np.random.default_rng(0), epochs=1))
+    fetched = list(pipe.batches(2, np.random.default_rng(0), epochs=1, prefetch=2))
+    assert len(fetched) == len(plain) == 2
+    for a, b in zip(plain, fetched):
+        np.testing.assert_allclose(np.asarray(a["log_mel_spec"]), np.asarray(b["log_mel_spec"]), atol=1e-6)
