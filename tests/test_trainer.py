@@ -161,3 +161,21 @@ def test_remat_matches_standard_grads(modules):
     g2 = jax.grad(lambda l: lora_loss_fn(l, modules, batch, rng, lcfg.scale, remat=True)[0])(lora)
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_training_reduces_loss_on_fixed_objective(modules):
+    """End-to-end learning signal: with a frozen (batch, rng) the adapter
+    must fit the fixed noise target and drive the loss down."""
+    lcfg = LoRAConfig(r=2, lora_alpha=2)
+    tcfg = TrainConfig(learning_rate=3e-2, max_train_steps=1000)
+    lora = init_lora(jax.random.PRNGKey(1), modules.unet, lcfg)
+    opt = make_optimizer(tcfg)
+    state = init_train_state(lora, opt)
+    step = make_train_step(modules, opt, lcfg)
+    batch = _batch(b=2)
+    rng = jax.random.PRNGKey(7)  # FIXED: same latents/noise/t every step
+    losses = []
+    for _ in range(25):
+        state, m = step(state, batch, rng)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0] * 0.9, losses[::6]
