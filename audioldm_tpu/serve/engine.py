@@ -90,7 +90,7 @@ class ServeEngine:
         self._fns: dict = {}
 
     # -- compiled entry points ----------------------------------------------
-    def _fn(self, key, steps: int, seconds: float, guidance: float, with_lora: bool):
+    def _fn(self, key, steps: int, seconds: float, guidance: float, with_lora: bool, scheduler: str = "ddim"):
         if key not in self._fns:
             # module bundle is a jit ARGUMENT (params as device buffers, configs
             # static) — see pipeline.generate.AudioLDMModules
@@ -100,6 +100,7 @@ class ServeEngine:
                     return generate(
                         mods, ids, mask, u_ids, u_mask, rng, steps, seconds, guidance,
                         lora=lora, lora_scale=self.lora_cfg.scale, dtype=self.dtype,
+                        scheduler=scheduler,
                     )
 
             else:
@@ -107,7 +108,7 @@ class ServeEngine:
                 def f(mods, ids, mask, u_ids, u_mask, rng):
                     return generate(
                         mods, ids, mask, u_ids, u_mask, rng, steps, seconds, guidance,
-                        dtype=self.dtype,
+                        dtype=self.dtype, scheduler=scheduler,
                     )
 
             if self.mesh is not None:
@@ -141,6 +142,7 @@ class ServeEngine:
         audio_length_in_s: float = 10.0,
         guidance_scale: float = 2.5,
         seed: int = 0,
+        scheduler: str = "ddim",
     ) -> np.ndarray:
         """Batched generation; ``adapters[i]`` selects the LoRA for prompt i
         (None/"base" = frozen base model). Returns ``[B, samples]`` float32."""
@@ -149,15 +151,17 @@ class ServeEngine:
         do_cfg = guidance_scale != 1.0
 
         if adapters is None or self.bank is None or all(a in (None, "base") for a in adapters):
-            fn = self._fn(("plain", num_inference_steps, audio_length_in_s, guidance_scale),
-                          num_inference_steps, audio_length_in_s, guidance_scale, with_lora=False)
+            fn = self._fn(("plain", num_inference_steps, audio_length_in_s, guidance_scale, scheduler),
+                          num_inference_steps, audio_length_in_s, guidance_scale, with_lora=False,
+                          scheduler=scheduler)
             return np.asarray(fn(ids, mask, u_ids, u_mask, rng))
 
         names = [a or "base" for a in adapters]
         idx = self.bank.indices(names)
         lora = self.bank.gather(idx, cfg_batch=2 if do_cfg else 1)
-        fn = self._fn(("lora", num_inference_steps, audio_length_in_s, guidance_scale),
-                      num_inference_steps, audio_length_in_s, guidance_scale, with_lora=True)
+        fn = self._fn(("lora", num_inference_steps, audio_length_in_s, guidance_scale, scheduler),
+                      num_inference_steps, audio_length_in_s, guidance_scale, with_lora=True,
+                      scheduler=scheduler)
         return np.asarray(fn(ids, mask, u_ids, u_mask, rng, lora))
 
     def submit(self, prompt: str, adapter: Optional[str] = None) -> int:
