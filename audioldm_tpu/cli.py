@@ -105,9 +105,20 @@ def _add_train(sub):
     p.add_argument("--output", default=None)
     p.add_argument("--max-steps", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--epochs", type=int, default=None, help="train for N epochs (config num_train_epochs)")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--wandb", action="store_true")
+    p.add_argument("--tensorboard", action="store_true")
+    p.add_argument("--log-every", type=int, default=10, help="host metric fetch cadence (steps)")
     p.add_argument("--dp", type=int, default=None, help="data-parallel devices (default: all)")
+    # periodic validation (reference: log_validation every validation_epochs
+    # epochs, train_audioldm_lora.py:597-607)
+    p.add_argument("--validate-every", type=int, default=None, help="validation cadence in EPOCHS (default: config validation_epochs; 0 disables)")
+    p.add_argument("--clap-dir", default=None, help="CLAP model dir for validation CLAP/KAD scoring")
+    p.add_argument("--val-prompt", default=None, help="validation prompt (default: config validation_prompt)")
+    p.add_argument("--val-clips", type=int, default=None, help="clips per validation (default: config num_validation_images)")
+    p.add_argument("--val-steps", type=int, default=50)
+    p.add_argument("--val-seconds", type=float, default=4.0)
 
 
 def cmd_train(args):
@@ -153,7 +164,8 @@ def cmd_train(args):
     pipe = DataPipeline(AudioCaptionDataset(source), tokenizer, run.mel)
 
     mesh = make_mesh(args.dp) if (args.dp or jax.device_count() > 1) else None
-    logger = MetricLogger(output_dir, wandb_config=run.wandb, use_wandb=args.wandb)
+    logger = MetricLogger(output_dir, wandb_config=run.wandb, use_wandb=args.wandb,
+                          use_tensorboard=args.tensorboard)
     trainer = Trainer(modules, run.lora, tcfg, output_dir, mesh=mesh, logger=logger,
                       dtype=jnp.bfloat16 if tcfg.mixed_precision == "bfloat16" else jnp.float32)
 
@@ -164,10 +176,61 @@ def cmd_train(args):
         print(f"resumed at step {int(state.step)}")
 
     global_bs = tcfg.train_batch_size * (mesh.devices.size if mesh else 1)
-    data_iter = pipe.batches(global_bs, np.random.default_rng(tcfg.seed))
-    state, metrics = trainer.fit(state, data_iter, jax.random.PRNGKey(tcfg.seed + 1))
+    steps_per_epoch = max(len(pipe.dataset) // global_bs, 1)
+
+    # periodic validation harness (reference: train_audioldm_lora.py:597-607)
+    validate_every_epochs = args.validate_every if args.validate_every is not None else run.validation_epochs
+    validate_fn = None
+    if validate_every_epochs and validate_every_epochs > 0:
+        from audioldm_tpu.train.validation import log_validation
+
+        scorer = None
+        if args.clap_dir:
+            from audioldm_tpu.eval.scoring import ClapScorer
+
+            scorer = ClapScorer.from_checkpoint(args.clap_dir)
+        val_prompt = args.val_prompt or run.validation_prompt
+        val_clips = args.val_clips or run.num_validation_images
+        # KAD reference corpus: prepared dataset clips (the reference scores
+        # against its training-set audio list, train:597-607)
+        ref_audios = None
+        if scorer is not None:
+            rng0 = np.random.default_rng(tcfg.seed)
+            ref_audios = []
+            for i in range(min(val_clips, len(pipe.dataset))):
+                wav, sr, _ = pipe.dataset.get_raw(i)
+                prepared, _ = pipe.prepare_waveform(wav, sr, rng0)
+                ref_audios.append(prepared)
+
+        def validate_fn(state, step):
+            return log_validation(
+                modules, state.lora, run.lora, tokenizer, val_prompt,
+                num_clips=val_clips, num_inference_steps=args.val_steps,
+                audio_length_in_s=args.val_seconds, scorer=scorer,
+                ref_audios_16k=ref_audios, logger=logger, step=step,
+                seed=tcfg.seed,
+            )
+
+    # train-step pytree: only the keys the loss consumes travel to device
+    # (the reference's collate output, train_audioldm_lora.py:415-420)
+    keys = ("log_mel_spec", "input_ids", "attention_mask")
+    data_iter = (
+        {k: b[k] for k in keys}
+        for b in pipe.batches(global_bs, np.random.default_rng(tcfg.seed), prefetch=2)
+    )
+    state, metrics = trainer.fit(
+        state, data_iter, jax.random.PRNGKey(tcfg.seed + 1),
+        log_every=args.log_every,
+        steps_per_epoch=steps_per_epoch,
+        num_epochs=args.epochs or (tcfg.num_train_epochs if args.max_steps is None else None),
+        validate_every_epochs=validate_every_epochs if validate_fn else None,
+        validate_fn=validate_fn,
+    )
     trainer.save(state)
-    print(f"done at step {int(state.step)}; final loss {float(metrics.get('loss', float('nan'))):.4f}")
+    if "loss" in metrics:
+        print(f"done at step {int(state.step)}; final loss {float(metrics['loss']):.4f}")
+    else:
+        print(f"done at step {int(state.step)}; no steps run (already at max_steps or empty dataset)")
 
 
 def _add_score(sub):

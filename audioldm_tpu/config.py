@@ -333,6 +333,10 @@ class RunConfig:
                 t["learning_rate"] = float(t["learning_rate"])
             known = {f.name for f in dataclasses.fields(TrainConfig)}
             kwargs["train"] = TrainConfig(**{k: v for k, v in t.items() if k in known})
+        if "mel" in raw:
+            m = dict(raw["mel"])
+            known = {f.name for f in dataclasses.fields(MelConfig)}
+            kwargs["mel"] = MelConfig(**{k: v for k, v in m.items() if k in known})
         if "wandb" in raw:
             kwargs["wandb"] = dict(raw["wandb"])
         return cls(**kwargs)

@@ -36,10 +36,15 @@ class ClapScorer:
 
     @classmethod
     def from_checkpoint(cls, clap_dir: str) -> "ClapScorer":
-        """``clap_dir``: HF-layout CLAP model dir (full ClapModel weights)."""
+        """``clap_dir``: HF-layout CLAP model dir (full ClapModel weights), or
+        a checkpoint dir containing a ``clap/`` subfolder (both layouts the
+        ``score`` CLI documents)."""
         from audioldm_tpu.ckpt.hf_bridge import convert_clap_model_state, load_state_dict
         from audioldm_tpu.data.tokenizer import load_tokenizer
 
+        sub = os.path.join(clap_dir, "clap")
+        if not os.path.exists(os.path.join(clap_dir, "config.json")) and os.path.isdir(sub):
+            clap_dir = sub
         sd = load_state_dict(clap_dir)
         text_params, audio_params = convert_clap_model_state(sd)
         cfg = load_hf_config(clap_dir, "")

@@ -38,6 +38,10 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch, axis_name: str = "dp"):
-    """Place a host batch pytree onto the mesh, sharded along axis 0."""
+    """Place a host batch pytree onto the mesh, sharded along axis 0
+    (rank-0 leaves — e.g. a batch's scalar metadata — are replicated)."""
     sh = batch_sharding(mesh, axis_name)
-    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+    repl = replicated(mesh)
+    return jax.tree.map(
+        lambda x: jax.device_put(x, sh if np.ndim(x) > 0 else repl), batch
+    )

@@ -44,9 +44,10 @@ class TrainState(NamedTuple):
     step: jnp.ndarray  # scalar int32
 
 
-def make_optimizer(cfg: TrainConfig, lr_end: float = 1e-7, power: float = 1.0) -> optax.GradientTransformation:
-    """AdamW + polynomial decay + global-norm clip, matching the reference's
-    optimizer block (train_audioldm_lora.py:396-403,438-443,559-561)."""
+def make_lr_schedule(cfg: TrainConfig, lr_end: float = 1e-7, power: float = 1.0) -> optax.Schedule:
+    """The single source of truth for the LR curve — used by both the
+    optimizer and ``Trainer.fit``'s logging, so the logged lr always matches
+    what optax applies (incl. the warmup join)."""
     schedule = optax.polynomial_schedule(
         init_value=cfg.learning_rate,
         end_value=lr_end,
@@ -57,6 +58,13 @@ def make_optimizer(cfg: TrainConfig, lr_end: float = 1e-7, power: float = 1.0) -
     if cfg.lr_warmup_steps > 0:
         warmup = optax.linear_schedule(0.0, cfg.learning_rate, cfg.lr_warmup_steps)
         schedule = optax.join_schedules([warmup, schedule], [cfg.lr_warmup_steps])
+    return schedule
+
+
+def make_optimizer(cfg: TrainConfig, lr_end: float = 1e-7, power: float = 1.0) -> optax.GradientTransformation:
+    """AdamW + polynomial decay + global-norm clip, matching the reference's
+    optimizer block (train_audioldm_lora.py:396-403,438-443,559-561)."""
+    schedule = make_lr_schedule(cfg, lr_end, power)
     return optax.chain(
         optax.clip_by_global_norm(cfg.max_grad_norm),
         optax.adamw(
@@ -275,18 +283,37 @@ class Trainer:
         max_steps: Optional[int] = None,
         validate_every: Optional[int] = None,
         validate_fn=None,
+        log_every: int = 1,
+        steps_per_epoch: Optional[int] = None,
+        num_epochs: Optional[int] = None,
+        validate_every_epochs: Optional[int] = None,
     ):
-        """Step loop with checkpointing and optional periodic validation —
-        the reference runs log_validation every ``validation_epochs`` epochs
-        (train_audioldm_lora.py:597-607); here the cadence is in steps and
+        """Step loop with checkpointing and optional periodic validation.
+
+        The reference trains ``num_train_epochs`` epochs and runs
+        ``log_validation`` every ``validation_epochs`` epochs
+        (train_audioldm_lora.py:478-613,597-607). Pass ``steps_per_epoch`` (+
+        ``num_epochs``/``validate_every_epochs``) for those epoch semantics;
+        ``max_steps``/``validate_every`` remain as step-cadence equivalents.
         ``validate_fn(state, step)`` is the harness hook (e.g. a closure over
-        train.validation.log_validation)."""
+        train.validation.log_validation).
+
+        Observability is off the hot path: loss accumulates as device scalars
+        and host fetches happen only every ``log_every`` steps, so the
+        device->host sync (~30 ms on a tunneled backend, PERF.md) is amortized.
+        """
+        if steps_per_epoch:
+            if num_epochs and max_steps is None:
+                # the reference loops epochs but caps at max_train_steps
+                # (train_audioldm_lora.py:478,568)
+                max_steps = min(num_epochs * steps_per_epoch, self.train_cfg.max_train_steps)
+            if validate_every_epochs and validate_every is None:
+                validate_every = validate_every_epochs * steps_per_epoch
         max_steps = max_steps or self.train_cfg.max_train_steps
         metrics = {}
-        total_loss, total_steps = 0.0, 0
-        lr_sched = optax.polynomial_schedule(
-            self.train_cfg.learning_rate, 1e-7, 1.0, max(self.train_cfg.max_train_steps, 1)
-        )
+        total_loss = jnp.asarray(0.0, jnp.float32)  # device-side accumulator
+        total_steps = 0
+        lr_sched = make_lr_schedule(self.train_cfg)
         while int(state.step) < max_steps:
             batch = next(data_iter, None)
             if batch is None:
@@ -298,17 +325,19 @@ class Trainer:
                 batch = shard_batch(self.mesh, batch)
             state, metrics = self.step_fn(state, batch, key)
             step = int(state.step)
-            total_loss += float(metrics["loss"])
+            total_loss = total_loss + metrics["loss"]
             total_steps += 1
-            if self.logger is not None:
+            if self.logger is not None and step % max(log_every, 1) == 0:
                 # metric names mirror the reference's wandb keys
-                # (train_audioldm_lora.py:570,583-591)
+                # (train_audioldm_lora.py:570,583-591); lr read from the SAME
+                # schedule make_optimizer uses (incl. warmup join)
                 self.logger.log(
                     {
                         "train_loss": float(metrics["loss"]),
-                        "total_train_loss": total_loss / total_steps,
+                        "total_train_loss": float(total_loss) / total_steps,
                         "lr": float(lr_sched(step)),
                         "grad_norm": float(metrics.get("grad_norm", 0.0)),
+                        "epoch": (step - 1) // steps_per_epoch if steps_per_epoch else 0,
                     },
                     step=step,
                 )

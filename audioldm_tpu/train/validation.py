@@ -95,6 +95,11 @@ def log_validation(
         for i in range(num_clips):
             logger.log_audio(f"validation/{i}", audios[i], sr, step)
             logger.log_audio(f"original_validation/{i}", original[i], sr, step)
+            if hasattr(logger, "log_image"):
+                # mel-spectrogram PNGs, the reference's image logging
+                # (train_audioldm_lora.py:78-95,146-149,176-198)
+                logger.log_image(f"validation_mel/{i}", spectrogram_image(audios[i], sr), step)
+                logger.log_image(f"original_validation_mel/{i}", spectrogram_image(original[i], sr), step)
 
     if scorer is not None:
         def to48k(batch):
@@ -113,6 +118,6 @@ def log_validation(
             r_emb = scorer.embed_audio(ref48)
             results["kad_score_lora"] = float(kernel_audio_distance(r_emb, g_emb))
             results["kad_score_original"] = float(kernel_audio_distance(r_emb, o_emb))
-        if logger is not None:
-            logger.log({k: v for k, v in results.items() if isinstance(v, float)}, step=step)
+        # NB: scalar metrics are returned, not logged here — Trainer.fit logs
+        # the returned floats (avoids double-logging when used as validate_fn)
     return results

