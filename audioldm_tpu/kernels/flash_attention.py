@@ -7,11 +7,20 @@ fp32 logits (~1 GB for the CFG-folded batch) in HBM. The streaming-softmax
 kernel keeps per-block logits in VMEM and never writes them out — the
 classic HBM-bandwidth win.
 
-Design (per the Pallas TPU guide): grid over (batch*heads, q-blocks); K/V for
-one batch-head stay resident in VMEM (<= 4096 x 128 x 4 B x 2 = 4 MB); the
-kv loop is a `jax.lax.fori_loop` carrying (running-max, running-sum, acc);
-head_dim is zero-padded to the 128-lane width by the wrapper (zero K columns
-add 0 to logits; zero V columns are sliced off afterwards).
+Design (v2, driven by on-device measurement — tools/bench_attn_diag.py):
+- 3-D grid (batch*heads, q-blocks, kv-blocks) with the kv axis innermost and
+  ``dimension_semantics=("parallel","parallel","arbitrary")``: running
+  (max, sum, acc) live in VMEM scratch across kv steps, so Mosaic pipelines
+  the next block's DMA and overlaps VPU softmax with MXU matmuls. Measured
+  0.93 ms vs 1.08 ms for the round-1 2-D-grid/fori kernel at the level-0
+  shape [2,8,4096,16] (matmul-only floor: ~0.75 ms — the padded-lane MXU
+  roofline; head_dim 16 means any MXU mapping carries 8x pad FLOPs).
+- softmax in base-2: ``1/sqrt(d) * log2(e)`` is folded into q on the host
+  side of the call, the kernel uses ``exp2`` directly (saves the per-block
+  logit scale multiply; exp == exp2 ∘ (·log2e) on the VPU anyway).
+- head_dim is zero-padded to the 128-lane width by the wrapper (zero K
+  columns add 0 to logits; zero V columns are sliced off afterwards).
+- bf16 matmul inputs with fp32 MXU accumulation; softmax state fp32.
 
 ``use_flash_attention(True)`` flips audioldm_tpu.models.nn.sdpa to this
 kernel; correctness is tested in interpret mode on CPU and the on/off choice
@@ -28,10 +37,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_BLOCK_Q = 512  # device-pure sweep on v5e: 512/1024 -> 1.35 ms vs XLA 3.2 ms
-_BLOCK_K = 1024  # at the level-0 shape [2,8,4096,16]
+_BLOCK_Q = 512  # on-device sweep (tools/bench_attn_diag.py): 512/2048 best
+_BLOCK_K = 2048
 _LANE = 128
 _MIN_TOKENS = 2048  # below this XLA's fused attention is already optimal
+_LOG2E = 1.4426950408889634
 
 _ENABLED = False
 
@@ -46,71 +56,83 @@ def enabled() -> bool:
     return _ENABLED
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k: int, scale: float):
-    # keep matmul INPUTS in the storage dtype (bf16 on the fast path — fp32
-    # MXU matmuls are ~4x slower on v5e) and accumulate fp32.
-    q = q_ref[0]  # [block_q, D]
-    block_q, d = q.shape
-    n_kv = k_ref.shape[1]
-    num_blocks = n_kv // block_k
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_s, l_s, acc_s, *, nkv: int):
+    """One (bh, q-block, kv-block) grid step. q comes pre-scaled by
+    ``scale * log2e``; softmax runs in the exp2 domain. Scratch (m, l, acc)
+    carries across the innermost kv axis."""
+    j = pl.program_id(2)
 
-    m0 = jnp.full((block_q, 1), -jnp.inf, jnp.float32)
-    l0 = jnp.zeros((block_q, 1), jnp.float32)
-    acc0 = jnp.zeros((block_q, d), jnp.float32)
+    @pl.when(j == 0)
+    def _init():
+        m_s[:] = jnp.full_like(m_s, -1e30)
+        l_s[:] = jnp.zeros_like(l_s)
+        acc_s[:] = jnp.zeros_like(acc_s)
 
-    def body(i, carry):
-        m, l, acc = carry
-        k = k_ref[0, pl.ds(i * block_k, block_k), :]
-        v = v_ref[0, pl.ds(i * block_k, block_k), :]
-        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale  # [bq, bk] fp32
-        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m - m_new)
-        l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc = acc * alpha + jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
-        return m_new, l, acc
+    q = q_ref[0]  # [block_q, D] (pre-scaled)
+    k = k_ref[0]  # [block_k, D]
+    v = v_ref[0]
+    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)  # [bq, bk] fp32
+    m_prev = m_s[:, 0:1]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    p = jnp.exp2(s - m_new)
+    alpha = jnp.exp2(m_prev - m_new)
+    l_s[:, 0:1] = l_s[:, 0:1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    acc_s[:] = acc_s[:] * alpha + jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    m_s[:, 0:1] = m_new
 
-    m, l, acc = jax.lax.fori_loop(0, num_blocks, body, (m0, l0, acc0))
-    o_ref[0] = (acc / l).astype(o_ref.dtype)
-    # per-row logsumexp, broadcast over the lane dim (residual for backward)
-    lse_ref[0] = jnp.broadcast_to(m + jnp.log(l), (block_q, _LANE))
+    @pl.when(j == nkv - 1)
+    def _done():
+        l = l_s[:, 0:1]
+        o_ref[0] = (acc_s[:] / l).astype(o_ref.dtype)
+        # base-2 logsumexp residual for the backward, broadcast over lanes
+        lse_ref[0] = jnp.broadcast_to(m_s[:, 0:1] + jnp.log2(l), lse_ref[0].shape)
 
 
 def _flash_bh(
-    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float, interpret: bool,
+    q2: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, interpret: bool,
     block_q: int = _BLOCK_Q, block_k: int = _BLOCK_K,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """q [BH, N, D], k/v [BH, M, D] with D lane-aligned, N % block_q == 0.
-    Returns (out, lse) — lse is the per-row logsumexp residual."""
-    bh, n, d = q.shape
+    """q2 [BH, N, D] PRE-SCALED by scale*log2e, k/v [BH, M, D] with D
+    lane-aligned. Returns (out, lse2) — lse2 is the base-2 logsumexp."""
+    bh, n, d = q2.shape
     m = k.shape[1]
     block_q = min(block_q, n)
     block_k = min(block_k, m)
-    grid = (bh, n // block_q)
+    nkv = m // block_k
+    grid = (bh, n // block_q, nkv)
     return pl.pallas_call(
-        functools.partial(_flash_kernel, block_k=block_k, scale=scale),
+        functools.partial(_flash_kernel, nkv=nkv),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, m, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, m, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q, _LANE), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, _LANE), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((bh, n, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, n, d), q2.dtype),
             jax.ShapeDtypeStruct((bh, n, _LANE), jnp.float32),
         ),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, _LANE), jnp.float32),
+            pltpu.VMEM((block_q, _LANE), jnp.float32),
+            pltpu.VMEM((block_q, _LANE), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
         interpret=interpret,
-    )(q, k, v)
+    )(q2, k, v)
 
 
-def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref, *, scale: float):
+def _flash_bwd_dkv_kernel(q2_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref, *, scale: float):
     """Grad wrt K and V. Grid (bh, kv_block, q_block): the q-side operands
     stream through the innermost grid dim (small VMEM blocks); dk/dv
-    accumulate fp32 in the resident output block across q iterations."""
+    accumulate fp32 in the resident output block across q iterations.
+    ``q2`` is pre-scaled (scale*log2e); dk folds the un-scale back in."""
     i = pl.program_id(2)
 
     @pl.when(i == 0)
@@ -120,33 +142,34 @@ def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_re
 
     k = k_ref[0]  # [block_k, D]
     v = v_ref[0]
-    q = q_ref[0]  # [block_q, D]
+    q2 = q2_ref[0]  # [block_q, D] pre-scaled
     do = do_ref[0]
-    lse = lse_ref[0][:, 0:1]
+    lse2 = lse_ref[0][:, 0:1]
     delta = delta_ref[0][:, 0:1]
-    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale  # [bq, bk]
-    p = jnp.exp(s - lse)
+    s2 = jnp.dot(q2, k.T, preferred_element_type=jnp.float32)  # [bq, bk] base-2 logits
+    p = jnp.exp2(s2 - lse2)
     dv_ref[0] += jnp.dot(p.astype(do.dtype).T, do, preferred_element_type=jnp.float32)
     dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)  # [bq, bk]
-    ds = p * (dp - delta) * scale
-    dk_ref[0] += jnp.dot(ds.astype(q.dtype).T, q, preferred_element_type=jnp.float32)
+    ds = p * (dp - delta) * scale  # natural-domain dS * scale
+    # dk = ds^T @ q_natural = ds^T @ q2 / (scale*log2e)
+    dk_ref[0] += jnp.dot(ds.astype(q2.dtype).T, q2, preferred_element_type=jnp.float32) * (1.0 / (scale * _LOG2E))
 
 
-def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *, block_k: int, scale: float):
+def _flash_bwd_dq_kernel(q2_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *, block_k: int, scale: float):
     """Grad wrt Q for one q block: loop over kv blocks, recompute P."""
-    q = q_ref[0]  # [block_q, D]
+    q2 = q2_ref[0]  # [block_q, D] pre-scaled
     do = do_ref[0]
-    lse = lse_ref[0][:, 0:1]
+    lse2 = lse_ref[0][:, 0:1]
     delta = delta_ref[0][:, 0:1]
-    block_q, d = q.shape
+    block_q, d = q2.shape
     n_kv = k_ref.shape[1]
     num_blocks = n_kv // block_k
 
     def body(i, dq):
         k = k_ref[0, pl.ds(i * block_k, block_k), :]
         v = v_ref[0, pl.ds(i * block_k, block_k), :]
-        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
-        p = jnp.exp(s - lse)
+        s2 = jnp.dot(q2, k.T, preferred_element_type=jnp.float32)
+        p = jnp.exp2(s2 - lse2)
         dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
         ds = p * (dp - delta) * scale
         return dq + jnp.dot(ds.astype(k.dtype), k, preferred_element_type=jnp.float32)
@@ -155,11 +178,11 @@ def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref
     dq_ref[0] = dq.astype(dq_ref.dtype)
 
 
-def _flash_bwd_bh(q, k, v, o, lse, do, scale: float, interpret: bool,
-                  block_q: int = _BLOCK_Q, block_k: int = _BLOCK_K):
+def _flash_bwd_bh(q2, k, v, o, lse2, do, scale: float, interpret: bool,
+                  block_q: int = _BLOCK_Q, block_k: int = 1024):
     """Streaming flash backward: never materializes the [N, M] matrix in HBM.
     delta = rowsum(dO * O) is a cheap XLA elementwise reduce."""
-    bh, n, d = q.shape
+    bh, n, d = q2.shape
     m = k.shape[1]
     block_q = min(block_q, n)
     block_k = min(block_k, m)
@@ -186,10 +209,13 @@ def _flash_bwd_bh(q, k, v, o, lse, do, scale: float, interpret: bool,
             jax.ShapeDtypeStruct((bh, m, d), jnp.float32),
             jax.ShapeDtypeStruct((bh, m, d), jnp.float32),
         ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
         interpret=interpret,
-    )(q, k, v, do, lse, delta)
-    dk = dk.astype(q.dtype)
-    dv = dv.astype(q.dtype)
+    )(q2, k, v, do, lse2, delta)
+    dk = dk.astype(q2.dtype)
+    dv = dv.astype(q2.dtype)
 
     dq = pl.pallas_call(
         functools.partial(_flash_bwd_dq_kernel, block_k=block_k, scale=scale),
@@ -203,9 +229,9 @@ def _flash_bwd_bh(q, k, v, o, lse, do, scale: float, interpret: bool,
             pl.BlockSpec((1, block_q, _LANE), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bh, n, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((bh, n, d), q2.dtype),
         interpret=interpret,
-    )(q, k, v, do, lse, delta)
+    )(q2, k, v, do, lse2, delta)
     return dq, dk, dv
 
 
@@ -214,6 +240,7 @@ def supported(n: int, m: int, d: int) -> bool:
         n >= _MIN_TOKENS  # shorter sequences: XLA's fused attention wins
         and n % min(_BLOCK_Q, n) == 0
         and m % min(_BLOCK_K, m) == 0
+        and m % min(1024, m) == 0  # backward block_k
         and n % 8 == 0
         and m % 8 == 0
         and d <= _LANE
@@ -221,15 +248,19 @@ def supported(n: int, m: int, d: int) -> bool:
 
 
 def _pad_reshape(q, k, v):
+    """Pad head_dim to the lane width, fold the softmax scale (in base-2)
+    into q, and flatten batch*heads."""
     b, h, n, d = q.shape
     m = k.shape[2]
+    scale = 1.0 / math.sqrt(d)
     pad = (-d) % _LANE
     if pad:
         padding = ((0, 0), (0, 0), (0, 0), (0, pad))
         q, k, v = (jnp.pad(t, padding) for t in (q, k, v))
     dp = d + pad
+    q2 = (q.astype(jnp.float32) * (scale * _LOG2E)).astype(q.dtype)
     return (
-        q.reshape(b * h, n, dp),
+        q2.reshape(b * h, n, dp),
         k.reshape(b * h, m, dp),
         v.reshape(b * h, m, dp),
         (b, h, n, m, d, dp),
@@ -237,10 +268,9 @@ def _pad_reshape(q, k, v):
 
 
 def _flash_fwd_impl(q, k, v, interpret=False, block_q=None, block_k=None):
-    scale = 1.0 / math.sqrt(q.shape[-1])
-    qp, kp, vp, (b, h, n, m, d, dp) = _pad_reshape(q, k, v)
+    q2, kp, vp, (b, h, n, m, d, dp) = _pad_reshape(q, k, v)
     out, _ = _flash_bh(
-        qp, kp, vp, scale, interpret,
+        q2, kp, vp, interpret,
         block_q=block_q or _BLOCK_Q, block_k=block_k or _BLOCK_K,
     )
     return out.reshape(b, h, n, dp)[..., :d]
@@ -252,25 +282,24 @@ def _flash(q, k, v):
 
 
 def _flash_vjp_fwd(q, k, v):
-    scale = 1.0 / math.sqrt(q.shape[-1])
-    qp, kp, vp, meta = _pad_reshape(q, k, v)
-    out_bh, lse = _flash_bh(qp, kp, vp, scale, False)
+    q2, kp, vp, meta = _pad_reshape(q, k, v)
+    out_bh, lse2 = _flash_bh(q2, kp, vp, False)
     b, h, n, m, d, dp = meta
-    return out_bh.reshape(b, h, n, dp)[..., :d], (qp, kp, vp, out_bh, lse, meta)
+    return out_bh.reshape(b, h, n, dp)[..., :d], (q2, kp, vp, out_bh, lse2, meta)
 
 
 def _flash_vjp_bwd(res, g):
     # streaming Pallas backward (the LoRA trainer differentiates through
     # attention outputs, SURVEY.md §3.1) — recomputes P per block, never
     # writes the [N, M] matrix to HBM.
-    qp, kp, vp, out_bh, lse, (b, h, n, m, d, dp) = res
+    q2, kp, vp, out_bh, lse2, (b, h, n, m, d, dp) = res
     scale = 1.0 / math.sqrt(d)
     pad = dp - d
     do = g
     if pad:
         do = jnp.pad(do, ((0, 0), (0, 0), (0, 0), (0, pad)))
-    do = do.reshape(b * h, n, dp).astype(qp.dtype)
-    dq, dk, dv = _flash_bwd_bh(qp, kp, vp, out_bh, lse, do, scale, False)
+    do = do.reshape(b * h, n, dp).astype(q2.dtype)
+    dq, dk, dv = _flash_bwd_bh(q2, kp, vp, out_bh, lse2, do, scale, False)
     dq = dq.reshape(b, h, n, dp)[..., :d]
     dk = dk.reshape(b, h, m, dp)[..., :d]
     dv = dv.reshape(b, h, m, dp)[..., :d]
@@ -285,7 +314,7 @@ def flash_attention(
     block_q: int | None = None, block_k: int | None = None,
 ) -> jnp.ndarray:
     """Drop-in for models.nn.sdpa on unmasked inputs: ``[B, H, N, D]``.
-    Differentiable: Pallas kernel forward, XLA-attention backward."""
+    Differentiable: streaming Pallas kernels forward and backward."""
     if interpret or block_q is not None or block_k is not None:
         return _flash_fwd_impl(q, k, v, interpret=interpret, block_q=block_q, block_k=block_k)
     return _flash(q, k, v)
