@@ -158,17 +158,33 @@ def conv_transpose1d(p: dict, x: jnp.ndarray, stride: int, padding: int) -> jnp.
 
 
 def group_norm(p: dict, x: jnp.ndarray, num_groups: int, eps: float = 1e-5) -> jnp.ndarray:
-    """GroupNorm over channels-last activations ``[..., C]`` in fp32."""
+    """GroupNorm over channels-last activations ``[..., C]`` in fp32.
+
+    TPU note: reshaping the lane (channel) dim into (G, C/G) on the full
+    tensor forces vector relayouts, which dominated the UNet's norm cost
+    (measured 1.7 ms/eps-step). Instead: reduce per-channel sums first (lane
+    layout untouched), compute group stats on the tiny [B, G, C/G] tensor,
+    and broadcast back per channel — two reductions + elementwise only."""
     orig_dtype = x.dtype
     xf = x.astype(jnp.float32)
     shape = xf.shape
     c = shape[-1]
     g = num_groups
-    xg = xf.reshape(shape[0], -1, g, c // g)  # [B, spatial, G, C/G]
-    mean = jnp.mean(xg, axis=(1, 3), keepdims=True)
-    var = jnp.var(xg, axis=(1, 3), keepdims=True)
-    xg = (xg - mean) * jax.lax.rsqrt(var + eps)
-    xf = xg.reshape(shape)
+    red_axes = tuple(range(1, xf.ndim - 1))
+    n_spatial = 1
+    for s in shape[1:-1]:
+        n_spatial *= s
+    n = n_spatial * (c // g)
+    bshape = (shape[0],) + (1,) * len(red_axes) + (c,)
+    # two-pass (numerically robust vs the E[x^2]-mean^2 cancellation)
+    s1 = jnp.sum(xf, axis=red_axes)  # [B, C]
+    mean = jnp.sum(s1.reshape(shape[0], g, c // g), axis=-1) / n  # [B, G]
+    mean_c = jnp.repeat(mean, c // g, axis=-1).reshape(bshape)
+    xc = xf - mean_c
+    s2 = jnp.sum(xc * xc, axis=red_axes)  # [B, C]
+    var = jnp.sum(s2.reshape(shape[0], g, c // g), axis=-1) / n  # [B, G]
+    rstd_c = jnp.repeat(jax.lax.rsqrt(var + eps), c // g, axis=-1).reshape(bshape)
+    xf = xc * rstd_c
     xf = xf * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
     return xf.astype(orig_dtype)
 
