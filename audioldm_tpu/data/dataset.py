@@ -170,25 +170,45 @@ def random_segment(wav: np.ndarray, target: int, rng: np.random.Generator, retri
     return wav[start : start + target], start
 
 
+def _draw_mask_params(dim: int, max_len: int, batch: int, rng: np.random.Generator) -> tuple[np.ndarray, np.ndarray]:
+    """Per-item (start, length) for a SpecAugment mask — the reference draws
+    one pair PER ITEM (datasets.py:426-442 runs in per-item __getitem__)."""
+    lens = rng.uniform(max_len // 8, max_len, size=batch).astype(np.int32)
+    starts = np.stack([rng.uniform(0, max(dim - int(l), 1)) for l in lens]).astype(np.int32)
+    return starts, lens
+
+
+@jax.jit
+def _apply_masks(
+    log_mel: jnp.ndarray,
+    f_start: jnp.ndarray, f_len: jnp.ndarray,
+    t_start: jnp.ndarray, t_len: jnp.ndarray,
+) -> jnp.ndarray:
+    """Batched per-item frequency+time masking over ``[B, T, F]`` in one jit
+    (mask i covers ``[start_i, start_i+len_i)``; len 0 disables)."""
+    b, t, f = log_mel.shape
+    fi = jnp.arange(f)[None, :]
+    keep_f = (fi < f_start[:, None]) | (fi >= (f_start + f_len)[:, None])  # [B, F]
+    ti = jnp.arange(t)[None, :]
+    keep_t = (ti < t_start[:, None]) | (ti >= (t_start + t_len)[:, None])  # [B, T]
+    return log_mel * keep_f[:, None, :].astype(log_mel.dtype) * keep_t[:, :, None].astype(log_mel.dtype)
+
+
 def frequency_masking(log_mel: jnp.ndarray, freqm: int, rng: np.random.Generator) -> jnp.ndarray:
-    """SpecAugment frequency mask (reference: datasets.py:430-435 — mask
-    length U[freqm/8, freqm), batched over ``[..., T, F]``)."""
-    f = log_mel.shape[-1]
-    mask_len = int(rng.uniform(freqm // 8, freqm))
-    start = int(rng.uniform(0, max(f - mask_len, 1)))
-    idx = np.arange(f)
-    keep = (idx < start) | (idx >= start + mask_len)
-    return log_mel * jnp.asarray(keep, log_mel.dtype)
+    """SpecAugment frequency mask, per item over ``[B, T, F]``
+    (reference: datasets.py:430-435 — mask length U[freqm/8, freqm))."""
+    b, t, f = log_mel.shape
+    starts, lens = _draw_mask_params(f, freqm, b, rng)
+    zeros = np.zeros(b, np.int32)
+    return _apply_masks(log_mel, jnp.asarray(starts), jnp.asarray(lens), jnp.asarray(zeros), jnp.asarray(zeros))
 
 
 def time_masking(log_mel: jnp.ndarray, timem: int, rng: np.random.Generator) -> jnp.ndarray:
-    """SpecAugment time mask (reference: datasets.py:437-442)."""
-    t = log_mel.shape[-2]
-    mask_len = int(rng.uniform(timem // 8, timem))
-    start = int(rng.uniform(0, max(t - mask_len, 1)))
-    idx = np.arange(t)
-    keep = (idx < start) | (idx >= start + mask_len)
-    return log_mel * jnp.asarray(keep, log_mel.dtype)[:, None]
+    """SpecAugment time mask, per item (reference: datasets.py:437-442)."""
+    b, t, f = log_mel.shape
+    starts, lens = _draw_mask_params(t, timem, b, rng)
+    zeros = np.zeros(b, np.int32)
+    return _apply_masks(log_mel, jnp.asarray(zeros), jnp.asarray(zeros), jnp.asarray(starts), jnp.asarray(lens))
 
 
 def label_vector(labels: str, index_dict: dict[str, int], num_classes: int) -> np.ndarray:
@@ -235,6 +255,7 @@ class DataPipeline:
         max_text_length: int = 512,
         freqm: int = 0,
         timem: int = 0,
+        bucket_text: bool = True,
     ):
         self.dataset = dataset
         self.tokenizer = tokenizer
@@ -242,6 +263,7 @@ class DataPipeline:
         self.add_ons = [PLUGINS[a] for a in add_ons]
         self.trim = trim
         self.max_text_length = max_text_length
+        self.bucket_text = bucket_text
         self.freqm = freqm  # spec-augment (reference: datasets.py:430-442)
         self.timem = timem
         cfg = mel_cfg
@@ -275,11 +297,28 @@ class DataPipeline:
             starts.append(start)
         waveforms = np.stack(wavs)  # [B, num_samples]
         log_mel, stft = self._mel_fn(jnp.asarray(waveforms))
-        if self.freqm > 0:
-            log_mel = frequency_masking(log_mel, self.freqm, rng)
-        if self.timem > 0:
-            log_mel = time_masking(log_mel, self.timem, rng)
-        tok = self.tokenizer(captions, max_length=self.max_text_length)
+        if self.freqm > 0 or self.timem > 0:
+            # per-item SpecAugment in one jit (reference: datasets.py:426-442)
+            bsz, t_dim, f_dim = log_mel.shape
+            zeros = np.zeros(bsz, np.int32)
+            f_s, f_l = _draw_mask_params(f_dim, self.freqm, bsz, rng) if self.freqm > 0 else (zeros, zeros)
+            t_s, t_l = _draw_mask_params(t_dim, self.timem, bsz, rng) if self.timem > 0 else (zeros, zeros)
+            log_mel = _apply_masks(log_mel, jnp.asarray(f_s), jnp.asarray(f_l), jnp.asarray(t_s), jnp.asarray(t_l))
+        if self.bucket_text:
+            # length bucketing: pad to the smallest multiple of 64 covering
+            # the batch instead of always 512 — pad-aware position ids +
+            # masked attention make the pooled embedding identical (tested),
+            # and the per-step RoBERTa forward shrinks ~8x for short captions.
+            # (The reference always pads to 512: datasets.py:128-134.)
+            probe = self.tokenizer(captions, max_length=self.max_text_length)
+            longest = int(np.max(np.sum(np.asarray(probe["attention_mask"]), axis=-1)))
+            bucket = min(self.max_text_length, max(64, ((longest + 63) // 64) * 64))
+            tok = {
+                "input_ids": np.asarray(probe["input_ids"])[:, :bucket],
+                "attention_mask": np.asarray(probe["attention_mask"])[:, :bucket],
+            }
+        else:
+            tok = self.tokenizer(captions, max_length=self.max_text_length)
         batch = {
             "log_mel_spec": log_mel[..., None],  # NHWC
             "stft": stft,

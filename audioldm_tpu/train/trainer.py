@@ -202,6 +202,11 @@ class Trainer:
         remat: bool = False,
         debug_nans: bool = False,
     ):
+        if dtype == jnp.bfloat16:
+            # cast the FROZEN submodels to bf16 storage once (MXU fast path;
+            # LoRA adapters + optimizer state stay fp32) — the text encoder
+            # alone is a 512-token RoBERTa forward per step in fp32 otherwise
+            modules = jax.tree.map(lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, modules)
         self.modules = modules
         self.lora_cfg = lora_cfg
         self.train_cfg = train_cfg

@@ -155,23 +155,77 @@ def test_wav_dir_dataset(tmp_path, bpe_files, rng):
 
 
 def test_spec_augment_masks():
+    """Per-item SpecAugment: each batch item gets its OWN contiguous mask
+    band (reference draws per item in __getitem__, datasets.py:426-442)."""
     import jax.numpy as jnp
 
     from audioldm_tpu.data.dataset import frequency_masking, label_vector, time_masking
 
     rng2 = np.random.default_rng(3)
-    mel = jnp.ones((32, 64))
+    mel = jnp.ones((8, 32, 64))
     fm = np.asarray(frequency_masking(mel, 16, rng2))
-    zero_cols = np.where(fm.sum(axis=0) == 0)[0]
-    assert 2 <= len(zero_cols) <= 16
-    assert np.all(np.diff(zero_cols) == 1)  # contiguous band
+    bands = []
+    for b in range(8):
+        zero_cols = np.where(fm[b].sum(axis=0) == 0)[0]
+        assert 2 <= len(zero_cols) <= 16
+        assert np.all(np.diff(zero_cols) == 1)  # contiguous band
+        bands.append((zero_cols[0], len(zero_cols)))
+    assert len(set(bands)) > 1  # distinct masks across items
 
     tm = np.asarray(time_masking(mel, 16, rng2))
-    zero_rows = np.where(tm.sum(axis=1) == 0)[0]
-    assert 2 <= len(zero_rows) <= 16
+    rows = []
+    for b in range(8):
+        zero_rows = np.where(tm[b].sum(axis=1) == 0)[0]
+        assert 2 <= len(zero_rows) <= 16
+        rows.append((zero_rows[0], len(zero_rows)))
+    assert len(set(rows)) > 1
+
+    # masked-fraction distribution: mean mask length ~ (m/8 + m)/2 over many draws
+    big = np.asarray(frequency_masking(jnp.ones((256, 8, 64)), 16, np.random.default_rng(0)))
+    lens = (big.sum(axis=1) == 0).sum(axis=-1)
+    assert 7.0 < lens.mean() < 11.0  # E[U[2,16)] = 9
 
     lv = label_vector("drums, bass", {"drums": 0, "bass": 3, "piano": 5}, 8)
     np.testing.assert_array_equal(np.where(lv == 1.0)[0], [0, 3])
+
+
+def test_pipeline_spec_augment_per_item(bpe_files, rng):
+    vocab, merges = bpe_files
+    tok = RobertaBPETokenizer.from_files(vocab, merges)
+    items = [
+        {"wav": (rng.standard_normal(16000) * 0.4).astype(np.float32), "sr": 16000, "caption": "a"}
+        for _ in range(4)
+    ]
+    pipe = DataPipeline(AudioCaptionDataset(items), tok, SMALL_MEL, max_text_length=8, freqm=16, timem=8)
+    batch = pipe.make_batch([0, 1, 2, 3], np.random.default_rng(0))
+    mel = np.asarray(batch["log_mel_spec"])[..., 0]
+    cols = [tuple(np.where((mel[b] == 0).all(axis=0))[0]) for b in range(4)]
+    assert len(set(cols)) > 1  # per-item frequency bands differ
+
+
+def test_text_bucketing_embedding_equivalence(bpe_files, rng):
+    """Length-bucketed (shorter-padded) tokenization must give the SAME
+    pooled text embedding as 512-padding: pad-aware position ids + masked
+    attention (the basis for the train-step bucketing optimization)."""
+    import jax
+    import jax.numpy as jnp
+
+    from audioldm_tpu.config import ClapTextConfig
+    from audioldm_tpu.models.clap_text import apply_clap_text, init_clap_text
+
+    cfg = ClapTextConfig(
+        vocab_size=320, hidden_size=16, num_hidden_layers=1, num_attention_heads=2,
+        intermediate_size=32, max_position_embeddings=300, projection_dim=8,
+    )
+    params = init_clap_text(jax.random.PRNGKey(0), cfg)
+    vocab, merges = bpe_files
+    tok = RobertaBPETokenizer.from_files(vocab, merges)
+    caps = ["hip hop music", "boom bap beat with drums"]
+    full = tok(caps, max_length=256)
+    short = {k: np.asarray(v)[:, :64] for k, v in tok(caps, max_length=256).items()}
+    e_full = apply_clap_text(params, cfg, jnp.asarray(full["input_ids"]), jnp.asarray(full["attention_mask"]))["text_embeds"]
+    e_short = apply_clap_text(params, cfg, jnp.asarray(short["input_ids"]), jnp.asarray(short["attention_mask"]))["text_embeds"]
+    np.testing.assert_allclose(np.asarray(e_full), np.asarray(e_short), atol=1e-5)
 
 
 def test_pipeline_prefetch_thread(bpe_files, rng):

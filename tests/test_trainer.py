@@ -179,3 +179,59 @@ def test_training_reduces_loss_on_fixed_objective(modules):
         state, m = step(state, batch, rng)
         losses.append(float(m["loss"]))
     assert losses[-1] < losses[0] * 0.9, losses[::6]
+
+
+def test_bf16_trainer_loss_matches_fp32(modules, tmp_path):
+    """Trainer(dtype=bf16) casts the frozen towers to bf16 storage; the loss
+    must match the fp32 trainer within mixed-precision tolerance (VERDICT
+    round-2 item 9 'done' criterion)."""
+    lcfg = LoRAConfig(r=2, lora_alpha=2)
+    tcfg = TrainConfig(max_train_steps=10, checkpointing_steps=1000)
+    lora = init_lora(jax.random.PRNGKey(1), modules.unet, lcfg)
+    batch = _batch(b=4)
+    key = jax.random.PRNGKey(3)
+
+    tr32 = Trainer(modules, lcfg, tcfg, str(tmp_path / "fp32"), dtype=jnp.float32)
+    tr16 = Trainer(modules, lcfg, tcfg, str(tmp_path / "bf16"), dtype=jnp.bfloat16)
+    # frozen towers really are bf16 in the bf16 trainer
+    assert jax.tree.leaves(tr16.modules.unet)[0].dtype == jnp.bfloat16
+    assert jax.tree.leaves(tr16.modules.text_encoder)[0].dtype == jnp.bfloat16
+    assert jax.tree.leaves(tr32.modules.unet)[0].dtype == jnp.float32
+
+    s32 = init_train_state(lora, tr32.optimizer)
+    s16 = init_train_state(lora, tr16.optimizer)
+    _, m32 = tr32.step_fn(s32, batch, key)
+    _, m16 = tr16.step_fn(s16, batch, key)
+    l32, l16 = float(m32["loss"]), float(m16["loss"])
+    assert np.isfinite(l16)
+    assert abs(l16 - l32) / abs(l32) < 0.05  # same objective within bf16 drift
+
+
+def test_lr_logged_matches_optimizer_schedule(modules, tmp_path):
+    """fit() must log the lr from the SAME schedule make_optimizer applies,
+    including the warmup join (VERDICT weak #3)."""
+    from audioldm_tpu.train.trainer import make_lr_schedule
+    from audioldm_tpu.utils import MetricLogger
+    import json, os
+
+    lcfg = LoRAConfig(r=2, lora_alpha=2)
+    tcfg = TrainConfig(max_train_steps=6, lr_warmup_steps=3, learning_rate=1e-3,
+                       checkpointing_steps=1000)
+    lora = init_lora(jax.random.PRNGKey(1), modules.unet, lcfg)
+    out = str(tmp_path / "run")
+    logger = MetricLogger(out)
+    tr = Trainer(modules, lcfg, tcfg, out, logger=logger)
+    state = init_train_state(lora, tr.optimizer)
+    batches = iter([_batch(b=2)] * 6)
+    tr.fit(state, batches, jax.random.PRNGKey(0), max_steps=6, log_every=1)
+    logger.close()
+
+    sched = make_lr_schedule(tcfg)
+    recs = [json.loads(l) for l in open(os.path.join(out, "metrics.jsonl"))]
+    for r in recs:
+        if "lr" in r:
+            assert abs(r["lr"] - float(sched(r["step"]))) < 1e-12
+    # warmup: lr at step 1 must be BELOW the peak (the old duplicated
+    # schedule ignored warmup and logged the decayed peak instead)
+    lr1 = next(r["lr"] for r in recs if r.get("step") == 1 and "lr" in r)
+    assert lr1 < 1e-3 * 0.9
