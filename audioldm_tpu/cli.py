@@ -3,6 +3,8 @@ reference's scripts (SURVEY.md §2a components 1, 10-14):
 
   generate        text->audio (replaces app.py + script/inference/generate_audio.py)
   train           LoRA fine-tune (replaces script/train/train_audioldm_lora.py)
+  serve           batched multi-LoRA serving: requests jsonl -> wavs (BASELINE config 5;
+                  the reference has only the single-adapter merge script)
   score           CLAP/KAD scoring of wav dirs (replaces script/inference/inference.py,
                   which cannot even import in the reference — SURVEY.md §0)
   export-dataset  HF dataset -> wav+caption-txt pairs (replaces data/dataset/make_audio_caption.py)
@@ -233,6 +235,86 @@ def cmd_train(args):
         print(f"done at step {int(state.step)}; no steps run (already at max_steps or empty dataset)")
 
 
+def _add_serve(sub):
+    p = sub.add_parser("serve", help="batched multi-LoRA serving: requests file -> wavs")
+    p.add_argument("--checkpoint", required=True, help="audioldm checkpoint dir (HF layout)")
+    p.add_argument("--requests", required=True,
+                   help="jsonl file: {\"prompt\": ..., \"adapter\": <name|null>} per line")
+    p.add_argument("--lora", action="append", default=[], metavar="NAME=PATH",
+                   help="adapter bank entry (PEFT safetensors); repeatable")
+    p.add_argument("--steps", type=int, default=50)
+    p.add_argument("--seconds", type=float, default=10.0)
+    p.add_argument("--guidance", type=float, default=2.5)
+    p.add_argument("--scheduler", default="ddim", choices=["ddim", "dpm++"])
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--max-batch", type=int, default=None)
+    p.add_argument("--output", required=True, help="output dir (000000.wav ... in request order)")
+    p.add_argument("--fp32", action="store_true")
+    p.add_argument("--dp", type=int, default=None, help="data-parallel devices")
+
+
+def cmd_serve(args):
+    import jax
+    import jax.numpy as jnp
+
+    from audioldm_tpu.ckpt import load_safetensors
+    from audioldm_tpu.config import LoRAConfig
+    from audioldm_tpu.data.tokenizer import load_tokenizer
+    from audioldm_tpu.data.wavio import write_wav
+    from audioldm_tpu.lora import import_peft_state_dict
+    from audioldm_tpu.parallel import make_mesh
+    from audioldm_tpu.pipeline.generate import AudioLDMModules
+    from audioldm_tpu.serve import AdapterBank, ServeEngine
+
+    if jax.devices()[0].platform == "tpu":
+        from audioldm_tpu.kernels import use_flash_attention
+
+        use_flash_attention(True)
+
+    modules = AudioLDMModules.from_checkpoint(args.checkpoint)
+    tokenizer = load_tokenizer(os.path.join(args.checkpoint, "tokenizer"))
+
+    bank = None
+    lcfg = LoRAConfig()
+    if args.lora:
+        adapters = {}
+        rank = None
+        for spec in args.lora:
+            name, _, path = spec.partition("=")
+            if not path:
+                raise SystemExit(f"--lora expects NAME=PATH, got {spec!r}")
+            tree, rank = import_peft_state_dict(load_safetensors(path))
+            adapters[name] = tree
+        lcfg = LoRAConfig(r=rank, lora_alpha=float(rank))
+        bank = AdapterBank.from_adapters(adapters, lcfg)
+
+    mesh = make_mesh(args.dp) if args.dp else None
+    engine = ServeEngine(
+        modules, tokenizer, lcfg, bank=bank, mesh=mesh,
+        dtype=jnp.float32 if args.fp32 else jnp.bfloat16,
+    )
+
+    requests = []
+    with open(args.requests) as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                requests.append(json.loads(line))
+    if not requests:
+        raise SystemExit(f"no requests in {args.requests}")
+    for r in requests:
+        engine.submit(r["prompt"], r.get("adapter"))
+    wavs = engine.flush(
+        num_inference_steps=args.steps, audio_length_in_s=args.seconds,
+        guidance_scale=args.guidance, seed=args.seed, max_batch=args.max_batch,
+    )
+    os.makedirs(args.output, exist_ok=True)
+    sr = modules.vocoder_cfg.sampling_rate
+    for i in range(wavs.shape[0]):
+        write_wav(os.path.join(args.output, f"{i:06d}.wav"), wavs[i], sr)
+    print(f"served {wavs.shape[0]} requests -> {args.output}")
+
+
 def _add_score(sub):
     p = sub.add_parser("score", help="CLAP/KAD scoring of generated vs reference wav dirs")
     p.add_argument("--checkpoint", required=True, help="checkpoint dir with a clap/ subfolder, or a CLAP model dir")
@@ -336,12 +418,13 @@ def cmd_slice(args):
 def main(argv=None):
     parser = argparse.ArgumentParser(prog="audioldm_tpu", description=__doc__)
     sub = parser.add_subparsers(dest="command", required=True)
-    for add in (_add_generate, _add_train, _add_score, _add_export, _add_push, _add_slice):
+    for add in (_add_generate, _add_train, _add_serve, _add_score, _add_export, _add_push, _add_slice):
         add(sub)
     args = parser.parse_args(argv)
     {
         "generate": cmd_generate,
         "train": cmd_train,
+        "serve": cmd_serve,
         "score": cmd_score,
         "export-dataset": cmd_export,
         "push-dataset": cmd_push,

@@ -200,3 +200,38 @@ def test_cli_score_checkpoint_subfolder_layout(tiny_clap_dir, tmp_path, rng):
     ])
     results = json.load(open(out))
     assert results["num_generated"] == 2
+
+
+def test_cli_serve(tiny_checkpoint, tmp_path):
+    """serve CLI: requests jsonl + adapter bank -> wavs in request order
+    (BASELINE config 5 surface)."""
+    import jax
+
+    from safetensors.numpy import save_file
+
+    from audioldm_tpu.ckpt import load_audioldm_checkpoint
+    from audioldm_tpu.config import LoRAConfig
+    from audioldm_tpu.lora import export_peft_state_dict, init_lora
+
+    bundle = load_audioldm_checkpoint(tiny_checkpoint)
+    lora = init_lora(jax.random.PRNGKey(1), bundle["params"]["unet"], LoRAConfig(r=2, lora_alpha=2))
+    lora = jax.tree.map(lambda x: x + 0.05, lora)
+    lora_path = str(tmp_path / "hiphop.safetensors")
+    save_file({k: np.asarray(v) for k, v in export_peft_state_dict(lora).items()}, lora_path)
+
+    reqs = tmp_path / "reqs.jsonl"
+    reqs.write_text(
+        '{"prompt": "hip hop beat", "adapter": "hiphop"}\n'
+        '{"prompt": "jazz piano", "adapter": null}\n'
+        '{"prompt": "boom bap", "adapter": "hiphop"}\n'
+    )
+    out = str(tmp_path / "served")
+    cli.main([
+        "serve", "--checkpoint", tiny_checkpoint, "--requests", str(reqs),
+        "--lora", f"hiphop={lora_path}", "--steps", "2", "--seconds", "0.01",
+        "--output", out, "--fp32",
+    ])
+    wavs = sorted(os.listdir(out))
+    assert wavs == ["000000.wav", "000001.wav", "000002.wav"]
+    w0, sr = read_wav(os.path.join(out, "000000.wav"))
+    assert sr == 16000 and len(w0) == 160 and np.any(w0 != 0)

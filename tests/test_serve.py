@@ -122,3 +122,52 @@ def test_submit_flush_microbatching(engine):
     assert np.all(np.isfinite(wavs))
     # queue drained
     assert engine.flush().size == 0
+
+
+def test_flush_bucketing_one_compile(engine):
+    """Two flushes of DIFFERENT queue lengths land in the same bucket and
+    reuse one compiled fn (VERDICT weak #6: per-chunk-size retraces)."""
+    t0 = engine.traces
+    for _ in range(3):
+        engine.submit("hip hop beat", "hiphop")
+    engine.submit("jazz piano", "jazz")
+    out1 = engine.flush(**GEN)
+    t1 = engine.traces
+    for _ in range(3):
+        engine.submit("boom bap", "jazz")
+    out2 = engine.flush(**GEN)
+    t2 = engine.traces
+    assert out1.shape == (4, 160) and out2.shape == (3, 160)
+    assert t1 > t0  # first flush compiled
+    assert t2 == t1  # second flush (size 3 -> bucket 4) reused the compile
+
+
+def test_flush_rng_never_collides(engine):
+    """Two same-size chunks in different flushes must NOT share latents
+    (VERDICT weak #6: seed + chunk_index collided)."""
+    engine.submit("hip hop beat", "hiphop")
+    a = engine.flush(**GEN)
+    engine.submit("hip hop beat", "hiphop")
+    b = engine.flush(**GEN)
+    assert np.max(np.abs(a - b)) > 1e-6
+
+
+def test_uniform_batch_routes_through_merged_cache(engine):
+    """A uniform-adapter batch must serve from the merged-weight cache and
+    match the per-request unmerged path numerically."""
+    prompts = ["hip hop beat", "boom bap"]
+    engine._merged_cache.clear()
+    uniform = engine.generate(prompts, adapters=["hiphop", "hiphop"], **GEN)
+    assert "hiphop" in engine._merged_cache  # merged path was taken
+    # reference: unmerged per-request gather (force it via a mixed batch
+    # where both rows still use hiphop semantics is impossible; instead use
+    # the bank gather path by adding one base row)
+    mixed = engine.generate(prompts + ["filler"], adapters=["hiphop", "hiphop", "base"], **GEN)
+    np.testing.assert_allclose(uniform[:2], mixed[:2], atol=2e-4)
+
+
+def test_generate_pads_to_bucket_and_slices(engine):
+    out = engine.generate(["hip hop beat"], adapters=["hiphop"], **GEN)
+    assert out.shape == (1, 160)  # bucket padding never leaks into the result
+    out3 = engine.generate(["a", "b", "c"], adapters=["jazz", "jazz", "jazz"], **GEN)
+    assert out3.shape == (3, 160)
