@@ -94,18 +94,44 @@ def mel_bandwidth_extra_channel(item: dict, cfg: MelConfig, latent_t_size: int =
     }
 
 
+_KALDI_NORM_MEAN = -4.2677393  # reference: dataset_plugin.py:346-347
+_KALDI_NORM_STD = 4.5689974
+
+
+def _kaldi_plugin(item: dict, cfg: MelConfig, target_sr: int) -> dict:
+    """Shared body of the 16k/32k Kaldi-fbank plugins (reference:
+    dataset_plugin.py:345-385 and :388-419): resample -> mean-subtract ->
+    Kaldi fbank (exact torchaudio.compliance.kaldi semantics, ops/kaldi.py)
+    -> pad/crop to the mel target length -> (x - mean) / (2 std)."""
+    from audioldm_tpu.ops.kaldi import kaldi_fbank
+
+    wav = np.asarray(item["waveform"], np.float32)
+    if cfg.sampling_rate != target_sr:
+        wav = np.asarray(resample(jnp.asarray(wav), cfg.sampling_rate, target_sr))
+    wav = wav - wav.mean()
+    fbank = kaldi_fbank(wav, sample_frequency=float(target_sr), num_mel_bins=128)
+    target_len = cfg.target_length
+    p = target_len - fbank.shape[0]
+    if p > 0:
+        fbank = np.pad(fbank, ((0, p), (0, 0)))
+    elif p < 0:
+        fbank = fbank[:target_len]
+    fbank = (fbank - _KALDI_NORM_MEAN) / (_KALDI_NORM_STD * 2)
+    return {"ta_kaldi_fbank": fbank.astype(np.float32)}
+
+
 @register_plugin("extract_kaldi_fbank_feature")
 def extract_fbank(item: dict, cfg: MelConfig) -> dict:
-    """128-bin log filterbank of the waveform (capability of
-    dataset_plugin.py:345-385; computed with our own mel front-end rather
-    than Kaldi's — documented approximation)."""
-    fb_cfg = MelConfig(
-        sampling_rate=cfg.sampling_rate, filter_length=cfg.filter_length,
-        hop_length=cfg.hop_length, win_length=cfg.win_length, n_mel=128,
-        mel_fmin=0.0, mel_fmax=cfg.sampling_rate / 2, duration=cfg.duration,
-    )
-    mel = log_mel_spectrogram(jnp.asarray(item["waveform"])[None], fb_cfg)[0]
-    return {"ta_kaldi_fbank": np.asarray(mel)}
+    """128-bin Kaldi log filterbank at 16 kHz (reference:
+    dataset_plugin.py:345-385)."""
+    return _kaldi_plugin(item, cfg, 16000)
+
+
+@register_plugin("extract_kaldi_fbank_feature_32k")
+def extract_fbank_32k(item: dict, cfg: MelConfig) -> dict:
+    """128-bin Kaldi log filterbank at 32 kHz (reference:
+    dataset_plugin.py:388-419)."""
+    return _kaldi_plugin(item, cfg, 32000)
 
 
 # ---------------------------------------------------------------------------

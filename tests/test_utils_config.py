@@ -67,3 +67,100 @@ def test_retrieve():
     assert retrieve(cfg, "train/betas/1") == 0.99
     assert retrieve(cfg, "missing/x", default=7) == 7
     assert retrieve(TrainConfig(), "learning_rate") == 1e-5
+
+
+def test_from_hf_rejects_unknown_and_unsupported():
+    """Checkpoint configs with unknown keys or unimplemented variants must
+    fail LOUDLY instead of silently mis-building (VERDICT weak #1)."""
+    import pytest
+
+    from audioldm_tpu.config import (
+        DDIMConfig,
+        UNetConfig,
+        UnsupportedConfigError,
+        VAEConfig,
+    )
+
+    # a realistic audioldm-s unet config.json is accepted
+    good = {
+        "_class_name": "UNet2DConditionModel",
+        "_diffusers_version": "0.32.2",
+        "sample_size": 64,
+        "in_channels": 8,
+        "out_channels": 8,
+        "down_block_types": ["CrossAttnDownBlock2D"] * 3 + ["DownBlock2D"],
+        "up_block_types": ["UpBlock2D"] + ["CrossAttnUpBlock2D"] * 3,
+        "block_out_channels": [128, 256, 384, 640],
+        "layers_per_block": 2,
+        "attention_head_dim": 8,
+        "cross_attention_dim": None,
+        "class_embed_type": "simple_projection",
+        "projection_class_embeddings_input_dim": 512,
+        "class_embeddings_concat": True,
+        "center_input_sample": False,
+        "dual_cross_attention": False,
+        "only_cross_attention": False,
+        "mid_block_type": "UNetMidBlock2DCrossAttn",
+        "num_class_embeds": None,
+        "resnet_time_scale_shift": "default",
+        "time_embedding_type": "positional",
+        "upcast_attention": False,
+        "use_linear_projection": False,
+    }
+    cfg = UNetConfig.from_hf(good)
+    assert cfg.block_out_channels == (128, 256, 384, 640)
+
+    with pytest.raises(UnsupportedConfigError, match="unknown config key"):
+        UNetConfig.from_hf({**good, "mystery_flag": 7})
+    with pytest.raises(UnsupportedConfigError, match="unimplemented variant"):
+        UNetConfig.from_hf({**good, "center_input_sample": True})
+    with pytest.raises(UnsupportedConfigError, match="unimplemented down blocks"):
+        UNetConfig.from_hf({**good, "down_block_types": ["AttnDownBlock2D", "DownBlock2D"]})
+    with pytest.raises(UnsupportedConfigError, match="use_linear_projection"):
+        UNetConfig.from_hf({**good, "use_linear_projection": True})
+    with pytest.raises(UnsupportedConfigError, match="class_embed_type"):
+        UNetConfig.from_hf({**good, "class_embed_type": "timestep"})
+
+    # uniform list transformer_layers_per_block collapses to int
+    assert UNetConfig.from_hf({**good, "transformer_layers_per_block": [1, 1, 1, 1]}).transformer_layers_per_block == 1
+    with pytest.raises(UnsupportedConfigError, match="non-uniform"):
+        UNetConfig.from_hf({**good, "transformer_layers_per_block": [1, 2, 2, 2]})
+
+    vae_good = {
+        "_class_name": "AutoencoderKL",
+        "in_channels": 1,
+        "out_channels": 1,
+        "down_block_types": ["DownEncoderBlock2D"] * 3,
+        "up_block_types": ["UpDecoderBlock2D"] * 3,
+        "block_out_channels": [128, 256, 512],
+        "latent_channels": 8,
+        "scaling_factor": 0.9227914214134216,
+        "force_upcast": True,
+    }
+    assert VAEConfig.from_hf(vae_good).latent_channels == 8
+    with pytest.raises(UnsupportedConfigError):
+        VAEConfig.from_hf({**vae_good, "use_quant_conv": False})
+    with pytest.raises(UnsupportedConfigError):
+        VAEConfig.from_hf({**vae_good, "down_block_types": ["ResnetDownsampleBlock2D"] * 3})
+
+    ddim_good = {
+        "_class_name": "DDIMScheduler",
+        "num_train_timesteps": 1000,
+        "beta_start": 0.0015,
+        "beta_end": 0.0195,
+        "beta_schedule": "scaled_linear",
+        "clip_sample": False,
+        "set_alpha_to_one": False,
+        "steps_offset": 1,
+        "prediction_type": "epsilon",
+        "timestep_spacing": "leading",
+        "trained_betas": None,
+        "clip_sample_range": 1.0,
+        "thresholding": False,
+        "dynamic_thresholding_ratio": 0.995,
+        "sample_max_value": 1.0,
+        "rescale_betas_zero_snr": False,
+    }
+    assert DDIMConfig.from_hf(ddim_good).beta_end == 0.0195
+    with pytest.raises(UnsupportedConfigError):
+        DDIMConfig.from_hf({**ddim_good, "rescale_betas_zero_snr": True})
