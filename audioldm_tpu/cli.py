@@ -163,7 +163,11 @@ def cmd_train(args):
         from datasets import load_dataset
 
         source = load_dataset(run.dataset_hub_id, split="train")
-    pipe = DataPipeline(AudioCaptionDataset(source), tokenizer, run.mel)
+    pipe = DataPipeline(
+        AudioCaptionDataset(source), tokenizer, run.mel,
+        add_ons=run.data.add_ons, trim=run.data.trim,
+        freqm=run.data.freqm, timem=run.data.timem,
+    )
 
     mesh = make_mesh(args.dp) if (args.dp or jax.device_count() > 1) else None
     logger = MetricLogger(output_dir, wandb_config=run.wandb, use_wandb=args.wandb,
@@ -218,7 +222,7 @@ def cmd_train(args):
     keys = ("log_mel_spec", "input_ids", "attention_mask")
     data_iter = (
         {k: b[k] for k in keys}
-        for b in pipe.batches(global_bs, np.random.default_rng(tcfg.seed), prefetch=2)
+        for b in pipe.batches(global_bs, np.random.default_rng(tcfg.seed), prefetch=run.data.prefetch)
     )
     state, metrics = trainer.fit(
         state, data_iter, jax.random.PRNGKey(tcfg.seed + 1),

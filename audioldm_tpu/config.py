@@ -401,6 +401,19 @@ class TrainConfig:
 
 
 @dataclass(frozen=True)
+class DataConfig:
+    """Data-pipeline options the reference configures in code
+    (datasets.py:39 ``add_ons``, :426-442 SpecAugment, :44/:214 trim):
+    exposed in the yaml schema under ``data:``."""
+
+    add_ons: Sequence[str] = ()
+    freqm: int = 0
+    timem: int = 0
+    trim: bool = False
+    prefetch: int = 2
+
+
+@dataclass(frozen=True)
 class RunConfig:
     """Top-level run config honoring the reference's config/config.yaml schema
     (config/config.yaml:1-30)."""
@@ -414,6 +427,7 @@ class RunConfig:
     lora: LoRAConfig = field(default_factory=LoRAConfig)
     train: TrainConfig = field(default_factory=TrainConfig)
     mel: MelConfig = field(default_factory=MelConfig)
+    data: DataConfig = field(default_factory=DataConfig)
     wandb: dict = field(default_factory=dict)
 
     @classmethod
@@ -450,6 +464,12 @@ class RunConfig:
             m = dict(raw["mel"])
             known = {f.name for f in dataclasses.fields(MelConfig)}
             kwargs["mel"] = MelConfig(**{k: v for k, v in m.items() if k in known})
+        if "data" in raw:
+            d = dict(raw["data"])
+            if "add_ons" in d:
+                d["add_ons"] = tuple(d["add_ons"])
+            known = {f.name for f in dataclasses.fields(DataConfig)}
+            kwargs["data"] = DataConfig(**{k: v for k, v in d.items() if k in known})
         if "wandb" in raw:
             kwargs["wandb"] = dict(raw["wandb"])
         return cls(**kwargs)

@@ -16,10 +16,10 @@ TPU-first re-design (BASELINE config 3 "batch data prep"):
 - randomness is explicit (seeded numpy Generator), unlike the reference's
   unseeded torch RNG (datasets.py:187-188,426-428) — documented deviation.
 
-The plugin registry keeps the reference's add-on concept with the add-ons
-that make sense TPU-side (waveform_rs_48k, relative bandwidth, bandwidth
-extra channel, fbank); phoneme/g2p add-ons need external lexica and are
-intentionally out of scope (dataset_plugin.py:30-78,148-342).
+The plugin registry keeps the reference's add-on concept (explicit registry
+instead of eval-by-name). DSP add-ons live here (waveform_rs_48k, relative
+bandwidth, bandwidth extra channel, Kaldi fbank); the metadata-driven add-ons
+(VITS/fs2/g2p phonemes, drum beat) live in data/plugins_meta.py.
 """
 
 from __future__ import annotations
@@ -156,7 +156,15 @@ class AudioCaptionDataset:
                 stem = os.path.splitext(name)[0]
                 cap_path = os.path.join(source, stem + ".txt")
                 caption = open(cap_path).read().strip() if os.path.exists(cap_path) else ""
-                self.items.append({"path": os.path.join(source, name), "caption": caption})
+                entry = {"path": os.path.join(source, name), "caption": caption}
+                # same-stem sidecar JSON = the reference's per-item metadata
+                # (phonemes, beat/downbeat, labels — datasets.py:108-117)
+                meta_path = os.path.join(source, stem + ".json")
+                if os.path.exists(meta_path):
+                    import json
+
+                    entry["metadata"] = json.load(open(meta_path))
+                self.items.append(entry)
         elif hasattr(source, "features"):  # HF dataset
             for item in source:
                 self.items.append(
@@ -164,6 +172,7 @@ class AudioCaptionDataset:
                         "wav": np.asarray(item["audio"]["array"], np.float32),
                         "sr": int(item["audio"]["sampling_rate"]),
                         "caption": item.get("caption", ""),
+                        "metadata": item.get("metadata", {}),
                     }
                 )
         elif isinstance(source, (list, tuple)):
@@ -181,6 +190,9 @@ class AudioCaptionDataset:
         else:
             wav, sr = np.asarray(item["wav"], np.float32), item["sr"]
         return wav, sr, item.get("caption", "")
+
+    def get_metadata(self, i: int) -> dict:
+        return self.items[i].get("metadata", {}) or {}
 
 
 def random_segment(wav: np.ndarray, target: int, rng: np.random.Generator, retries: int = 10) -> tuple[np.ndarray, int]:
@@ -358,17 +370,23 @@ class DataPipeline:
         if with_plugins and self.add_ons:
             log_mel_np, stft_np = np.asarray(log_mel), np.asarray(stft)
             extras: dict[str, list] = {}
-            for b in range(len(indices)):
+            for b, idx in enumerate(indices):
                 item = {
                     "waveform": waveforms[b],
                     "log_mel_spec": log_mel_np[b],
                     "stft": stft_np[b],
+                    "metadata": self.dataset.get_metadata(idx),
+                    "random_start": starts[b],
+                    "duration": self.mel_cfg.duration,
+                    "sampling_rate": self.mel_cfg.sampling_rate,
                 }
                 for fn in self.add_ons:
                     for k, v in fn(item, self.mel_cfg).items():
                         extras.setdefault(k, []).append(v)
             for k, v in extras.items():
-                batch[k] = np.stack(v)
+                # numeric add-ons stack into batch arrays; string add-ons
+                # (e.g. the flan-t5 'text' field) stay as python lists
+                batch[k] = np.stack(v) if isinstance(v[0], np.ndarray) else list(v)
         return batch
 
     def batches(

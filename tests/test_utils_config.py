@@ -39,6 +39,19 @@ def test_reference_yaml_schema(tmp_path):
     assert cfg.train.checkpointing_steps == 50000
 
 
+def test_data_section_from_yaml(tmp_path):
+    """``data:`` section selects add-ons/SpecAugment/trim for the pipeline."""
+    y = tmp_path / "c.yaml"
+    y.write_text(
+        "data:\n  add_ons: [extract_drum_beat, waveform_rs_48k]\n"
+        "  freqm: 8\n  timem: 16\n  trim: true\n"
+    )
+    cfg = RunConfig.from_yaml(str(y))
+    assert cfg.data.add_ons == ("extract_drum_beat", "waveform_rs_48k")
+    assert cfg.data.freqm == 8 and cfg.data.timem == 16 and cfg.data.trim
+    assert RunConfig().data.add_ons == () and RunConfig().data.prefetch == 2
+
+
 def test_dataset_json(tmp_path):
     p = str(tmp_path / "d.json")
     d = build_dataset_json_from_list(["a", "b"], p)
