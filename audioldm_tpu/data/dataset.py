@@ -406,6 +406,13 @@ class DataPipeline:
         def gen():
             epoch = 0
             n = len(self.dataset)
+            if drop_last and n < batch_size:
+                # would otherwise spin forever yielding nothing (e.g. a tiny
+                # dataset with a large global batch = per-device bs x dp)
+                raise ValueError(
+                    f"dataset has {n} items < batch_size {batch_size} with "
+                    "drop_last — no full batch can ever be formed"
+                )
             while epochs is None or epoch < epochs:
                 order = rng.permutation(n) if shuffle else np.arange(n)
                 for i in range(0, n - (batch_size - 1 if drop_last else 0), batch_size):

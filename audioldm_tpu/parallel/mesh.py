@@ -37,11 +37,16 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh: Mesh, batch, axis_name: str = "dp"):
-    """Place a host batch pytree onto the mesh, sharded along axis 0
-    (rank-0 leaves — e.g. a batch's scalar metadata — are replicated)."""
-    sh = batch_sharding(mesh, axis_name)
+def shard_batch(mesh: Mesh, batch, axis_name: str = "dp", batch_axis: int = 0):
+    """Place a host batch pytree onto the mesh, sharded along ``batch_axis``
+    (rank-0 leaves — e.g. a batch's scalar metadata — are replicated).
+
+    ``batch_axis=1`` is the gradient-accumulation layout ``[accum, micro,
+    ...]``: the accumulation axis stays replicated (every device scans all
+    accum steps) and the micro-batch axis is sharded."""
+    spec = P(*([None] * batch_axis), axis_name)
+    sh = NamedSharding(mesh, spec)
     repl = replicated(mesh)
     return jax.tree.map(
-        lambda x: jax.device_put(x, sh if np.ndim(x) > 0 else repl), batch
+        lambda x: jax.device_put(x, sh if np.ndim(x) > batch_axis else repl), batch
     )

@@ -168,7 +168,9 @@ def make_train_step(
         jitted = jax.jit(step_fn)
     else:
         repl = NamedSharding(mesh, P())
-        data = NamedSharding(mesh, P("dp"))
+        # grad-accum batches are [accum, micro, ...]: the accumulation axis is
+        # a sequential scan on every device, so only the MICRO axis is sharded
+        data = NamedSharding(mesh, P("dp") if grad_accum == 1 else P(None, "dp"))
         jitted = jax.jit(
             step_fn,
             in_shardings=(repl, repl, data, repl),
@@ -179,6 +181,21 @@ def make_train_step(
         return jitted(modules, state, batch, rng)
 
     return fn
+
+
+def to_accum_layout(batch: dict, accum: int) -> dict:
+    """Reshape a flat ``[B, ...]`` host batch into the ``[accum, B/accum,
+    ...]`` layout the grad-accum scan consumes (rank-0 leaves pass through)."""
+
+    def reshape(x):
+        if np.ndim(x) == 0:
+            return x
+        b = x.shape[0]
+        if b % accum:
+            raise ValueError(f"batch size {b} not divisible by grad_accum {accum}")
+        return x.reshape(accum, b // accum, *x.shape[1:])
+
+    return jax.tree.map(reshape, batch)
 
 
 def init_train_state(lora: dict, optimizer: optax.GradientTransformation) -> TrainState:
@@ -324,10 +341,13 @@ class Trainer:
             if batch is None:
                 break
             rng, key = jax.random.split(rng)
+            accum = self.train_cfg.gradient_accumulation_steps
+            if accum > 1:
+                batch = to_accum_layout(batch, accum)
             if self.mesh is not None:
                 from audioldm_tpu.parallel import shard_batch
 
-                batch = shard_batch(self.mesh, batch)
+                batch = shard_batch(self.mesh, batch, batch_axis=1 if accum > 1 else 0)
             state, metrics = self.step_fn(state, batch, key)
             step = int(state.step)
             total_loss = total_loss + metrics["loss"]

@@ -144,6 +144,19 @@ def test_pipeline_iterator(bpe_files, rng):
     assert batches[0]["log_mel_spec"].shape[0] == 2
 
 
+def test_pipeline_iterator_rejects_impossible_batch(bpe_files, rng):
+    """A dataset smaller than the (global) batch with drop_last must raise,
+    not spin forever yielding nothing."""
+    import pytest as _pytest
+
+    vocab, merges = bpe_files
+    tok = RobertaBPETokenizer.from_files(vocab, merges)
+    items = [{"wav": (rng.standard_normal(6000) * 0.4).astype(np.float32), "sr": 16000, "caption": "x"}]
+    pipe = DataPipeline(AudioCaptionDataset(items), tok, SMALL_MEL, max_text_length=8)
+    with _pytest.raises(ValueError, match="no full batch"):
+        next(iter(pipe.batches(8, np.random.default_rng(0))))
+
+
 def test_wav_dir_dataset(tmp_path, bpe_files, rng):
     for i in range(2):
         write_wav(str(tmp_path / f"c{i}.wav"), (rng.standard_normal(6000) * 0.2).astype(np.float32), 16000)

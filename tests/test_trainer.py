@@ -110,6 +110,58 @@ def test_dp_mesh_matches_single_device(modules):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+def test_grad_accum_under_mesh_matches_single_device(modules):
+    """grad_accum=2 over an 8-way dp mesh must equal the same accumulated
+    step on one device — the accum axis is a sequential scan, only the micro
+    axis shards (P(None, 'dp'))."""
+    from audioldm_tpu.parallel import shard_batch
+    from audioldm_tpu.train.trainer import to_accum_layout
+
+    lcfg = LoRAConfig(r=2, lora_alpha=2)
+    tcfg = TrainConfig(learning_rate=1e-3)
+    lora = init_lora(jax.random.PRNGKey(1), modules.unet, lcfg)
+    opt = make_optimizer(tcfg)
+    batch = to_accum_layout(_batch(b=16), accum=2)  # [2, 8, ...]
+    rng = jax.random.PRNGKey(0)
+
+    single = make_train_step(modules, opt, lcfg, grad_accum=2)
+    out_a, m_a = single(init_train_state(lora, opt), batch, rng)
+
+    mesh = make_mesh(8)
+    sharded = shard_batch(mesh, batch, batch_axis=1)
+    dp = make_train_step(modules, opt, lcfg, mesh=mesh, grad_accum=2)
+    out_b, m_b = dp(init_train_state(lora, opt), sharded, rng)
+
+    np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(out_a.lora), jax.tree.leaves(out_b.lora)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_to_accum_layout():
+    from audioldm_tpu.train.trainer import to_accum_layout
+
+    batch = {"x": np.arange(12).reshape(6, 2), "s": 3.0}
+    out = to_accum_layout(batch, 3)
+    assert out["x"].shape == (3, 2, 2) and out["s"] == 3.0
+    np.testing.assert_array_equal(out["x"][0], [[0, 1], [2, 3]])
+    with pytest.raises(ValueError):
+        to_accum_layout({"x": np.zeros((5, 2))}, 2)
+
+
+def test_fit_reshapes_for_grad_accum(modules, tmp_path):
+    """Trainer.fit consumes FLAT [B, ...] batches even when
+    gradient_accumulation_steps > 1 (it reshapes internally)."""
+    lcfg = LoRAConfig(r=2, lora_alpha=2)
+    tcfg = TrainConfig(learning_rate=1e-3, max_train_steps=2,
+                       checkpointing_steps=100, gradient_accumulation_steps=2)
+    lora = init_lora(jax.random.PRNGKey(1), modules.unet, lcfg)
+    trainer = Trainer(modules, lcfg, tcfg, str(tmp_path))
+    state = init_train_state(lora, trainer.optimizer)
+    data = iter([_batch(b=4), _batch(b=4)])
+    state, metrics = trainer.fit(state, data, jax.random.PRNGKey(0))
+    assert int(state.step) == 2 and np.isfinite(float(metrics["loss"]))
+
+
 def test_checkpoint_save_restore_roundtrip(modules, tmp_path):
     lcfg = LoRAConfig(r=2, lora_alpha=2)
     tcfg = TrainConfig(learning_rate=1e-3, checkpointing_steps=1)
