@@ -37,10 +37,16 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_BLOCK_Q = 512  # on-device sweep (tools/bench_attn_diag.py): 512/2048 best
-_BLOCK_K = 2048
+_BLOCK_Q = 512  # on-device sweep (tools/bench_attn_focus.py): 512/4096 best
+_BLOCK_K = 4096  # kv resident per (bh, q-block): 0.84 ms vs 0.86 at 2048
 _LANE = 128
 _MIN_TOKENS = 2048  # below this XLA's fused attention is already optimal
+
+
+def set_min_tokens(n: int):
+    """Routing threshold override (perf experiments / other model geometries)."""
+    global _MIN_TOKENS
+    _MIN_TOKENS = n
 _LOG2E = 1.4426950408889634
 
 _ENABLED = False

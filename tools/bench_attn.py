@@ -13,6 +13,10 @@ Usage: python tools/bench_attn.py [--iters 50]
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import argparse
 import functools
 import math
