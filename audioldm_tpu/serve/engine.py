@@ -218,18 +218,28 @@ class ServeEngine:
         guidance_scale: float = 2.5,
         seed: int = 0,
         max_batch: Optional[int] = None,
+        group_by_adapter: bool = True,
     ) -> np.ndarray:
         """Run all queued requests (optionally in max_batch chunks) and
-        return waveforms in submission order."""
+        return waveforms in submission order.
+
+        ``group_by_adapter`` stable-sorts the queue by adapter before
+        chunking, so chunks tend to be adapter-uniform and ride the
+        merged-weight cache (measured 0.78 vs 1.16 s/clip for the gathered
+        unmerged path, PERF.md); outputs are reordered back to submission
+        order."""
         queue = getattr(self, "_queue", [])
         self._queue = []
         if not queue:
             return np.zeros((0, 0), np.float32)
+        order = list(range(len(queue)))
+        if group_by_adapter:
+            order.sort(key=lambda i: queue[i][1] or "base")
         outs = []
         chunk = max_batch or len(queue)
         base_rng = jax.random.PRNGKey(seed)
-        for i in range(0, len(queue), chunk):
-            part = queue[i : i + chunk]
+        for i in range(0, len(order), chunk):
+            part = [queue[j] for j in order[i : i + chunk]]
             prompts = [p for p, _ in part]
             adapters = [a for _, a in part]
             # per-chunk rng from a monotone engine counter: two same-size
@@ -242,7 +252,9 @@ class ServeEngine:
                     rng_key=jax.random.fold_in(base_rng, self._rng_counter),
                 )
             )
-        return np.concatenate(outs, axis=0)
+        flat = np.concatenate(outs, axis=0)
+        inverse = np.argsort(np.asarray(order))
+        return flat[inverse]
 
     def merged_modules(self, adapter_name: str) -> AudioLDMModules:
         """Merged-weight cache: zero-overhead single-adapter serving

@@ -152,6 +152,32 @@ def test_flush_rng_never_collides(engine):
     assert np.max(np.abs(a - b)) > 1e-6
 
 
+def test_flush_groups_by_adapter_and_restores_order(engine):
+    """group_by_adapter sorts interleaved requests into adapter-uniform
+    chunks (merged-cache eligible) and returns outputs in SUBMISSION order."""
+    import jax as _jax
+
+    engine._rng_counter = 0
+    engine._queue = []
+    gen = {k: v for k, v in GEN.items() if k != "seed"}
+    prompts = ["hip hop beat", "jazz piano", "boom bap", "smooth sax"]
+    adapters = ["hiphop", "jazz", "hiphop", "jazz"]
+    for p, a in zip(prompts, adapters):
+        engine.submit(p, a)
+    out = engine.flush(max_batch=2, seed=7, **gen)
+    assert out.shape == (4, 160)
+    # expected chunks after the stable sort: (hiphop: idx 0,2), (jazz: idx 1,3)
+    base = _jax.random.PRNGKey(7)
+    c1 = engine.generate(["hip hop beat", "boom bap"], adapters=["hiphop", "hiphop"],
+                         rng_key=_jax.random.fold_in(base, 1), **gen)
+    c2 = engine.generate(["jazz piano", "smooth sax"], adapters=["jazz", "jazz"],
+                         rng_key=_jax.random.fold_in(base, 2), **gen)
+    np.testing.assert_allclose(out[0], c1[0], atol=1e-6)
+    np.testing.assert_allclose(out[2], c1[1], atol=1e-6)
+    np.testing.assert_allclose(out[1], c2[0], atol=1e-6)
+    np.testing.assert_allclose(out[3], c2[1], atol=1e-6)
+
+
 def test_uniform_batch_routes_through_merged_cache(engine):
     """A uniform-adapter batch must serve from the merged-weight cache and
     match the per-request unmerged path numerically."""

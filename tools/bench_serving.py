@@ -1,0 +1,123 @@
+"""Serving + sampler benchmarks at full model size on TPU:
+- DPM-Solver++ 2M 25/20 steps single-prompt latency
+- multi-LoRA serving batch 4: mixed adapters (gathered, unmerged) and
+  uniform adapter (merged-cache route) clips/s
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+from audioldm_tpu.config import (
+    ClapTextConfig,
+    DDIMConfig,
+    LoRAConfig,
+    UNetConfig,
+    VAEConfig,
+    VocoderConfig,
+)
+from audioldm_tpu.kernels import use_flash_attention
+from audioldm_tpu.lora import init_lora
+from audioldm_tpu.models.clap_text import init_clap_text
+from audioldm_tpu.models.unet import init_unet
+from audioldm_tpu.models.vae import init_vae
+from audioldm_tpu.models.vocoder import init_vocoder
+from audioldm_tpu.pipeline.generate import AudioLDMModules, make_generate_fn
+from audioldm_tpu.serve import AdapterBank, ServeEngine
+
+
+class Tok:
+    def __call__(self, texts, max_length=None):
+        n = 512
+        ids = np.full((len(texts), n), 1, np.int32)
+        mask = np.zeros((len(texts), n), np.int32)
+        for i, t in enumerate(texts):
+            toks = [0] + [5 + (sum(map(ord, w)) % 40) for w in t.split()] + [2]
+            ids[i, : len(toks)] = toks
+            mask[i, : len(toks)] = 1
+        return {"input_ids": ids, "attention_mask": mask}
+
+
+def full_modules():
+    def _init(key):
+        ks = jax.random.split(key, 4)
+        bf16 = lambda t: jax.tree.map(lambda x: x.astype(jnp.bfloat16), t)
+        return (
+            bf16(init_unet(ks[0], UNetConfig())),
+            bf16(init_vae(ks[1], VAEConfig())),
+            init_clap_text(ks[2], ClapTextConfig()),
+            init_vocoder(ks[3], VocoderConfig()),
+        )
+
+    t0 = time.perf_counter()
+    unet_p, vae_p, text_p, voc_p = jax.jit(_init)(jax.random.PRNGKey(0))
+    jax.block_until_ready(unet_p)
+    print(f"# init: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+    return AudioLDMModules(
+        unet=unet_p, vae=vae_p, text_encoder=text_p, vocoder=voc_p,
+        unet_cfg=UNetConfig(), vae_cfg=VAEConfig(), text_cfg=ClapTextConfig(),
+        vocoder_cfg=VocoderConfig(), ddim_cfg=DDIMConfig(),
+    )
+
+
+def main():
+    use_flash_attention(True)
+    modules = full_modules()
+    seconds = 10.24
+
+    # -- DPM++ latency ---------------------------------------------------------
+    ids = jnp.full((1, 512), 5, jnp.int32).at[:, 0].set(0)
+    mask = jnp.ones((1, 512), jnp.int32)
+    u_ids = jnp.full((1, 512), 1, jnp.int32).at[:, 0].set(0)
+    u_mask = jnp.zeros((1, 512), jnp.int32).at[:, 0].set(1)
+    for steps in (25, 20):
+        fn = make_generate_fn(
+            modules, num_inference_steps=steps, audio_length_in_s=seconds,
+            guidance_scale=2.5, dtype=jnp.bfloat16, scheduler="dpm++",
+        )
+
+        def run(seed):
+            wav = fn(ids, mask, u_ids, u_mask, jax.random.PRNGKey(seed))
+            return jax.device_get(wav[0, :8])
+
+        run(0); run(1)
+        t0 = time.perf_counter()
+        for i in range(5):
+            run(2 + i)
+        dt = (time.perf_counter() - t0) / 5
+        print(f"dpm++ {steps} steps: {dt:.3f} s/clip", flush=True)
+
+    # -- multi-LoRA serving ----------------------------------------------------
+    lcfg = LoRAConfig(r=4, lora_alpha=4)
+    mk = lambda s: jax.tree.map(
+        lambda x: (x + 0.01).astype(jnp.bfloat16),
+        init_lora(jax.random.PRNGKey(s), modules.unet, lcfg),
+    )
+    bank = AdapterBank.from_adapters({"a": mk(1), "b": mk(2)}, lcfg)
+    eng = ServeEngine(modules, Tok(), lcfg, bank=bank, bucket_sizes=(4,))
+    prompts = ["hip hop beat"] * 4
+    gen = dict(num_inference_steps=50, audio_length_in_s=seconds, guidance_scale=2.5)
+
+    for tag, adapters in (("mixed", ["a", "b", "a", "base"]), ("uniform->merged", ["a", "a", "a", "a"])):
+        eng.generate(prompts, adapters=adapters, seed=0, **gen)  # compile
+        eng.generate(prompts, adapters=adapters, seed=1, **gen)
+        t0 = time.perf_counter()
+        for i in range(3):
+            eng.generate(prompts, adapters=adapters, seed=2 + i, **gen)
+        dt = (time.perf_counter() - t0) / 3
+        print(f"serve batch=4 {tag}: {dt:.3f} s/batch = {dt/4:.3f} s/clip ({4/dt:.2f} clips/s)", flush=True)
+
+
+if __name__ == "__main__":
+    main()
