@@ -271,15 +271,25 @@ def attention(
     ``{"to_q": {"a": [C,r], "b": [r,C]}, ...}`` applied unmerged as
     ``W x + scale * (x A) B`` — the training-time LoRA path (reference:
     peft LoraLayer behavior pinned at train_audioldm_lora.py:378-385).
+    A projection entry may instead carry a densified ``{"ab": [..., C, C]}``
+    delta (serve path: per-request ΔW=AB precomputed once outside the
+    sampling scan — one aligned matmul per projection instead of two
+    rank-r slivers).
     """
     context = x if context is None else context
+
+    def lora_delta(name: str, inp: jnp.ndarray) -> jnp.ndarray:
+        entry = lora[name]
+        if "ab" in entry:
+            return lora_scale * jnp.matmul(inp, entry["ab"].astype(inp.dtype))
+        a = entry["a"].astype(inp.dtype)
+        b = entry["b"].astype(inp.dtype)
+        return lora_scale * jnp.matmul(jnp.matmul(inp, a), b)
 
     def proj(name: str, inp: jnp.ndarray) -> jnp.ndarray:
         y = linear(p[name], inp)
         if lora is not None and name in lora:
-            a = lora[name]["a"].astype(inp.dtype)
-            b = lora[name]["b"].astype(inp.dtype)
-            y = y + lora_scale * jnp.matmul(jnp.matmul(inp, a), b)
+            y = y + lora_delta(name, inp)
         return y
 
     q = _split_heads(proj("to_q", x), heads)
@@ -288,9 +298,7 @@ def attention(
     out = _merge_heads(sdpa(q, k, v, mask))
     y = linear(p["to_out"], out)
     if lora is not None and "to_out" in lora:
-        a = lora["to_out"]["a"].astype(out.dtype)
-        b = lora["to_out"]["b"].astype(out.dtype)
-        y = y + lora_scale * jnp.matmul(jnp.matmul(out, a), b)
+        y = y + lora_delta("to_out", out)
     return y
 
 

@@ -152,6 +152,26 @@ def test_flush_rng_never_collides(engine):
     assert np.max(np.abs(a - b)) > 1e-6
 
 
+def test_gather_dense_matches_rank_r(engine):
+    """gather_dense's per-request ΔW=AB equals the rank-r pair it densifies
+    (kept for small-C geometries; the audioldm-s serve path uses rank-r —
+    see engine.generate NB)."""
+    idx = engine.bank.indices(["hiphop", "jazz"])
+    sliver = engine.bank.gather(idx, cfg_batch=2)
+    dense = engine.bank.gather_dense(idx, cfg_batch=2, dtype=jnp.float32)
+    flat_s = jax.tree_util.tree_flatten_with_path(
+        sliver, is_leaf=lambda x: isinstance(x, dict) and "a" in x
+    )[0]
+    flat_d = jax.tree_util.tree_flatten_with_path(
+        dense, is_leaf=lambda x: isinstance(x, dict) and "ab" in x
+    )[0]
+    assert len(flat_s) == len(flat_d) > 0
+    for (pa, s), (pb, d) in zip(flat_s, flat_d):
+        assert pa == pb
+        want = np.einsum("bir,bro->bio", np.asarray(s["a"]), np.asarray(s["b"]))
+        np.testing.assert_allclose(np.asarray(d["ab"]), want, atol=1e-5)
+
+
 def test_flush_groups_by_adapter_and_restores_order(engine):
     """group_by_adapter sorts interleaved requests into adapter-uniform
     chunks (merged-cache eligible) and returns outputs in SUBMISSION order."""
