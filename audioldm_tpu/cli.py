@@ -112,6 +112,7 @@ def _add_train(sub):
     p.add_argument("--wandb", action="store_true")
     p.add_argument("--tensorboard", action="store_true")
     p.add_argument("--log-every", type=int, default=10, help="host metric fetch cadence (steps)")
+    p.add_argument("--profile-dir", default=None, help="capture a jax.profiler device trace of steps 2-5 into this dir (xprof/TensorBoard)")
     p.add_argument("--dp", type=int, default=None, help="data-parallel devices (default: all)")
     # periodic validation (reference: log_validation every validation_epochs
     # epochs, train_audioldm_lora.py:597-607)
@@ -231,6 +232,7 @@ def cmd_train(args):
         num_epochs=args.epochs or (tcfg.num_train_epochs if args.max_steps is None else None),
         validate_every_epochs=validate_every_epochs if validate_fn else None,
         validate_fn=validate_fn,
+        profile_dir=args.profile_dir,
     )
     trainer.save(state)
     if "loss" in metrics:

@@ -65,7 +65,9 @@ def enabled() -> bool:
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_s, l_s, acc_s, *, nkv: int):
     """One (bh, q-block, kv-block) grid step. q comes pre-scaled by
     ``scale * log2e``; softmax runs in the exp2 domain. Scratch (m, l, acc)
-    carries across the innermost kv axis."""
+    carries across the innermost kv axis. ``lse_ref`` is None on the
+    inference path — the logsumexp residual is only needed by the backward,
+    and writing it costs a [BH, N, lanes] fp32 HBM store per call."""
     j = pl.program_id(2)
 
     @pl.when(j == 0)
@@ -90,38 +92,51 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_s, l_s, acc_s, *, nkv: 
     def _done():
         l = l_s[:, 0:1]
         o_ref[0] = (acc_s[:] / l).astype(o_ref.dtype)
-        # base-2 logsumexp residual for the backward, broadcast over lanes
-        lse_ref[0] = jnp.broadcast_to(m_s[:, 0:1] + jnp.log2(l), lse_ref[0].shape)
+        if lse_ref is not None:
+            # base-2 logsumexp residual for the backward, broadcast over lanes
+            lse_ref[0] = jnp.broadcast_to(m_s[:, 0:1] + jnp.log2(l), lse_ref[0].shape)
+
+
+def _flash_kernel_nolse(q_ref, k_ref, v_ref, o_ref, m_s, l_s, acc_s, *, nkv: int):
+    _flash_kernel(q_ref, k_ref, v_ref, o_ref, None, m_s, l_s, acc_s, nkv=nkv)
 
 
 def _flash_bh(
     q2: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, interpret: bool,
-    block_q: int = _BLOCK_Q, block_k: int = _BLOCK_K,
-) -> tuple[jnp.ndarray, jnp.ndarray]:
+    block_q: int = _BLOCK_Q, block_k: int = _BLOCK_K, with_lse: bool = True,
+):
     """q2 [BH, N, D] PRE-SCALED by scale*log2e, k/v [BH, M, D] with D
-    lane-aligned. Returns (out, lse2) — lse2 is the base-2 logsumexp."""
+    lane-aligned. Returns (out, lse2) with ``with_lse`` (training: lse2 is
+    the base-2 logsumexp residual) or just ``out`` without (inference:
+    skips a [BH, N, 128] fp32 HBM store per call)."""
     bh, n, d = q2.shape
     m = k.shape[1]
     block_q = min(block_q, n)
     block_k = min(block_k, m)
     nkv = m // block_k
     grid = (bh, n // block_q, nkv)
+    if with_lse:
+        kernel = functools.partial(_flash_kernel, nkv=nkv)
+    else:
+        kernel = functools.partial(_flash_kernel_nolse, nkv=nkv)
+    out_specs = pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((bh, n, d), q2.dtype)
+    if with_lse:
+        out_specs = (
+            out_specs,
+            pl.BlockSpec((1, block_q, _LANE), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
+        )
+        out_shape = (out_shape, jax.ShapeDtypeStruct((bh, n, _LANE), jnp.float32))
     return pl.pallas_call(
-        functools.partial(_flash_kernel, nkv=nkv),
+        kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q, _LANE), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((bh, n, d), q2.dtype),
-            jax.ShapeDtypeStruct((bh, n, _LANE), jnp.float32),
-        ),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((block_q, _LANE), jnp.float32),
             pltpu.VMEM((block_q, _LANE), jnp.float32),
@@ -275,9 +290,9 @@ def _pad_reshape(q, k, v):
 
 def _flash_fwd_impl(q, k, v, interpret=False, block_q=None, block_k=None):
     q2, kp, vp, (b, h, n, m, d, dp) = _pad_reshape(q, k, v)
-    out, _ = _flash_bh(
+    out = _flash_bh(
         q2, kp, vp, interpret,
-        block_q=block_q or _BLOCK_Q, block_k=block_k or _BLOCK_K,
+        block_q=block_q or _BLOCK_Q, block_k=block_k or _BLOCK_K, with_lse=False,
     )
     return out.reshape(b, h, n, dp)[..., :d]
 

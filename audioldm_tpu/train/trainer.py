@@ -309,6 +309,8 @@ class Trainer:
         steps_per_epoch: Optional[int] = None,
         num_epochs: Optional[int] = None,
         validate_every_epochs: Optional[int] = None,
+        profile_dir: Optional[str] = None,
+        profile_steps: tuple = (2, 5),
     ):
         """Step loop with checkpointing and optional periodic validation.
 
@@ -323,6 +325,11 @@ class Trainer:
         Observability is off the hot path: loss accumulates as device scalars
         and host fetches happen only every ``log_every`` steps, so the
         device->host sync (~30 ms on a tunneled backend, PERF.md) is amortized.
+
+        ``profile_dir`` captures a jax.profiler device trace (TensorBoard/
+        xprof-viewable) over steps ``[profile_steps[0], profile_steps[1])`` —
+        past the compile step, so the trace shows steady-state device work
+        (SURVEY.md §5 tracing/profiling; the reference has none).
         """
         if steps_per_epoch:
             if num_epochs and max_steps is None:
@@ -336,7 +343,19 @@ class Trainer:
         total_loss = jnp.asarray(0.0, jnp.float32)  # device-side accumulator
         total_steps = 0
         lr_sched = make_lr_schedule(self.train_cfg)
+        profiling = False
         while int(state.step) < max_steps:
+            if profile_dir is not None:
+                done = total_steps  # steps completed this fit() call
+                if not profiling and done == profile_steps[0]:
+                    jax.block_until_ready(state.lora)
+                    jax.profiler.start_trace(profile_dir)
+                    profiling = True
+                elif profiling and done >= profile_steps[1]:
+                    jax.block_until_ready(state.lora)
+                    jax.profiler.stop_trace()
+                    profiling = False
+                    profile_dir = None
             batch = next(data_iter, None)
             if batch is None:
                 break
@@ -372,4 +391,7 @@ class Trainer:
                 val = validate_fn(state, step)
                 if self.logger is not None and isinstance(val, dict):
                     self.logger.log({k: v for k, v in val.items() if isinstance(v, float)}, step=step)
+        if profiling:  # loop ended inside the profiled window
+            jax.block_until_ready(state.lora)
+            jax.profiler.stop_trace()
         return state, metrics

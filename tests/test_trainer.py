@@ -1,6 +1,8 @@
 """Trainer tests: loss math, optimizer schedule, DP-mesh gradient
 equivalence vs single device (SURVEY.md §4 item 3), checkpoint/resume."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -160,6 +162,24 @@ def test_fit_reshapes_for_grad_accum(modules, tmp_path):
     data = iter([_batch(b=4), _batch(b=4)])
     state, metrics = trainer.fit(state, data, jax.random.PRNGKey(0))
     assert int(state.step) == 2 and np.isfinite(float(metrics["loss"]))
+
+
+def test_fit_profile_trace_capture(modules, tmp_path):
+    """profile_dir captures a jax.profiler xplane trace over the configured
+    step window (SURVEY.md §5 tracing/profiling)."""
+    import glob
+
+    lcfg = LoRAConfig(r=2, lora_alpha=2)
+    tcfg = TrainConfig(learning_rate=1e-3, max_train_steps=4, checkpointing_steps=100)
+    lora = init_lora(jax.random.PRNGKey(1), modules.unet, lcfg)
+    trainer = Trainer(modules, lcfg, tcfg, str(tmp_path))
+    state = init_train_state(lora, trainer.optimizer)
+    data = iter([_batch(b=2) for _ in range(4)])
+    trace_dir = str(tmp_path / "trace")
+    state, _ = trainer.fit(state, data, jax.random.PRNGKey(0),
+                           profile_dir=trace_dir, profile_steps=(1, 3))
+    assert int(state.step) == 4
+    assert glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"), recursive=True)
 
 
 def test_checkpoint_save_restore_roundtrip(modules, tmp_path):
