@@ -45,6 +45,10 @@ def _load():
             lib.normalize_wav_f32.argtypes = [ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_float]
             lib.peak_abs_f32.argtypes = [ctypes.POINTER(ctypes.c_float), ctypes.c_int64]
             lib.peak_abs_f32.restype = ctypes.c_float
+            lib.decode_pcm16_f32.argtypes = [
+                ctypes.POINTER(ctypes.c_int16), ctypes.c_int64, ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_float),
+            ]
             _LIB = lib
         except Exception:
             _LIB = False
@@ -94,3 +98,21 @@ def peak_abs(waveform: np.ndarray) -> float:
     if not lib:
         return float(np.max(np.abs(x))) if x.size else 0.0
     return float(lib.peak_abs_f32(_fptr(x), x.shape[-1]))
+
+
+def decode_pcm16(data: bytes, channels: int) -> np.ndarray:
+    """PCM16 bytes -> float32 mono in [-1, 1) (channel-averaged) — the wav
+    decoder's hot loop in C++ (cpp/audioprep.cpp decode_pcm16_f32); numpy
+    fallback matches bit-for-bit."""
+    raw = np.frombuffer(data, dtype="<i2")
+    n_frames = raw.shape[0] // channels
+    lib = _load()
+    if not lib:
+        x = raw.astype(np.float32) / 32768.0
+        return x.reshape(-1, channels).mean(axis=1) if channels > 1 else x
+    raw = np.ascontiguousarray(raw[: n_frames * channels])
+    out = np.empty(n_frames, np.float32)
+    lib.decode_pcm16_f32(
+        raw.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), n_frames, channels, _fptr(out)
+    )
+    return out

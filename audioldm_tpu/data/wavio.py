@@ -38,7 +38,12 @@ def read_wav(path: str) -> tuple[np.ndarray, int]:
         if audio_format == 3 or (audio_format == 0xFFFE and bits == 32):
             x = np.frombuffer(data, dtype="<f4").astype(np.float32)
         elif bits == 16:
-            x = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
+            # hot path for the common PCM16 case: C++ decode+downmix in one
+            # pass (cpp/audioprep.cpp), numpy fallback inside
+            from audioldm_tpu.data import native
+
+            x = native.decode_pcm16(data, channels)
+            channels = 1  # already mono
         elif bits == 32:
             x = np.frombuffer(data, dtype="<i4").astype(np.float32) / 2147483648.0
         elif bits == 24:

@@ -41,3 +41,28 @@ def test_native_normalize(rng):
 def test_peak_abs(rng):
     x = (rng.standard_normal(1000) * 0.2).astype(np.float32)
     assert abs(native.peak_abs(x) - np.max(np.abs(x))) < 1e-7
+
+
+def test_native_pcm16_decode_matches_numpy(rng):
+    """C++ decode_pcm16_f32 == numpy decode (mono + stereo downmix), and
+    read_wav round-trips through it."""
+    import os
+    import tempfile
+
+    from audioldm_tpu.data.wavio import read_wav, write_wav
+
+    raw = (rng.integers(-32768, 32768, size=4096)).astype("<i2")
+    mono = native.decode_pcm16(raw.tobytes(), 1)
+    np.testing.assert_allclose(mono, raw.astype(np.float32) / 32768.0, atol=0)
+
+    stereo = native.decode_pcm16(raw.tobytes(), 2)
+    want = (raw.astype(np.float32) / 32768.0).reshape(-1, 2).mean(axis=1)
+    np.testing.assert_allclose(stereo, want, atol=1e-7)
+
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "t.wav")
+        wav = (rng.uniform(-0.9, 0.9, 1000)).astype(np.float32)
+        write_wav(p, wav, 16000)
+        back, sr = read_wav(p)
+        assert sr == 16000
+        np.testing.assert_allclose(back, np.round(wav * 32767) / 32768.0, atol=1.0 / 32768)
