@@ -53,9 +53,28 @@ class ClapScorer:
         tokenizer = load_tokenizer(clap_dir)
         return cls(text_params, text_cfg, audio_params, audio_cfg, tokenizer)
 
-    def embed_audio(self, waveforms_48k: list[np.ndarray], rng=None) -> jnp.ndarray:
+    def embed_audio(
+        self, waveforms_48k: list[np.ndarray], rng=None, batch_size: int = 16
+    ) -> jnp.ndarray:
+        """Batched HTSAT embeddings. The corpus streams through the jitted
+        audio tower in fixed-size chunks (last chunk zero-padded, trimmed
+        after) so ONE compile serves any corpus length — per-clip embeddings
+        are independent, so chunking is numerically free."""
         feats, longer = batch_fused_features(waveforms_48k, rng)
-        emb = self._audio_fn(feats, longer)
+        n = feats.shape[0]
+        if batch_size is None or n <= batch_size:
+            emb = self._audio_fn(feats, longer)
+        else:
+            chunks = []
+            for i in range(0, n, batch_size):
+                f, l = feats[i : i + batch_size], longer[i : i + batch_size]
+                keep = f.shape[0]
+                pad = batch_size - keep
+                if pad:
+                    f = jnp.concatenate([f, jnp.zeros((pad, *f.shape[1:]), f.dtype)])
+                    l = jnp.concatenate([l, jnp.zeros((pad,), l.dtype)])
+                chunks.append(self._audio_fn(f, l)[:keep])
+            emb = jnp.concatenate(chunks, axis=0)
         return emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
 
     def embed_text(self, texts: list[str]) -> jnp.ndarray:

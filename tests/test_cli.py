@@ -139,6 +139,18 @@ def test_cli_score(tiny_clap_dir, tmp_path, rng):
     assert np.isfinite(results["kad"])
 
 
+def test_embed_audio_chunked_matches_unchunked(tiny_clap_dir, rng):
+    """Fixed-size chunked corpus embedding (one compile for any corpus
+    length) is numerically identical to the single-batch path."""
+    from audioldm_tpu.eval.scoring import ClapScorer
+
+    scorer = ClapScorer.from_checkpoint(tiny_clap_dir)
+    wavs = [rng.uniform(-0.4, 0.4, 48000).astype(np.float32) for _ in range(5)]
+    one = np.asarray(scorer.embed_audio(wavs, batch_size=None))
+    chunked = np.asarray(scorer.embed_audio(wavs, batch_size=2))  # 2+2+1(pad)
+    np.testing.assert_allclose(chunked, one, atol=2e-5)
+
+
 def test_cli_train_with_validation(tiny_checkpoint, tiny_clap_dir, tmp_path, rng):
     """End-to-end train entry point with periodic validation wired (the
     reference's epoch-cadence log_validation, train_audioldm_lora.py:597-607):
