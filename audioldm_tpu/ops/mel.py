@@ -221,6 +221,16 @@ def log_mel_spectrogram(
     return log_mel
 
 
+def get_mel_from_wav(wav: jnp.ndarray, cfg: MelConfig = MelConfig()):
+    """Reference ``tools.get_mel_from_wav`` (script/utilities/audio/
+    tools.py:13-24): returns ``(log_mel, magnitudes, energy)`` where energy
+    is the per-frame L2 norm of the magnitude STFT (TacotronSTFT's energy
+    output, stft.py:174-176)."""
+    log_mel, mag = log_mel_spectrogram(wav, cfg, return_stft=True)
+    energy = jnp.linalg.norm(mag, axis=-1)
+    return log_mel, mag, energy
+
+
 def normalize_wav(waveform: np.ndarray, eps: float = 1e-8) -> np.ndarray:
     """Mean-center, peak-normalize, scale to max amplitude 0.5
     (reference: datasets.py:174-177). Host-side numpy (data prep)."""

@@ -149,3 +149,23 @@ def test_dynamic_range_compression_matches_reference():
     out = np.asarray(dynamic_range_compression(x))
     expected = np.log(np.clip(np.asarray(x), 1e-5, None))
     np.testing.assert_allclose(out, expected, rtol=1e-6)
+
+
+def test_get_mel_from_wav_energy():
+    """tools.get_mel_from_wav parity surface (reference tools.py:13-24):
+    (log_mel, magnitudes, energy) with energy = per-frame L2 of |STFT|."""
+    import numpy as np
+
+    from audioldm_tpu.config import MelConfig
+    from audioldm_tpu.ops import get_mel_from_wav
+
+    cfg = MelConfig(duration=1.024)
+    rng = np.random.default_rng(0)
+    wav = (rng.standard_normal(cfg.num_samples) * 0.3).astype(np.float32)
+    mel, mag, energy = get_mel_from_wav(wav, cfg)
+    assert mel.shape == (cfg.target_length, cfg.n_mel)
+    assert mag.shape[0] == cfg.target_length
+    assert energy.shape == (cfg.target_length,)
+    np.testing.assert_allclose(
+        np.asarray(energy), np.linalg.norm(np.asarray(mag), axis=-1), rtol=1e-6
+    )
