@@ -182,7 +182,15 @@ def cmd_train(args):
         state = trainer.restore(state)
         print(f"resumed at step {int(state.step)}")
 
-    global_bs = tcfg.train_batch_size * (mesh.devices.size if mesh else 1)
+    # accelerate semantics (train_audioldm_lora.py:407,445-447): one optimizer
+    # step consumes per-device-batch x num_devices x accumulation samples —
+    # fit() splits the flat batch into [accum, micro, ...] where the micro
+    # axis (bs x dp) shards over the mesh
+    global_bs = (
+        tcfg.train_batch_size
+        * (mesh.devices.size if mesh else 1)
+        * max(tcfg.gradient_accumulation_steps, 1)
+    )
     steps_per_epoch = max(len(pipe.dataset) // global_bs, 1)
 
     # periodic validation harness (reference: train_audioldm_lora.py:597-607)
@@ -218,11 +226,24 @@ def cmd_train(args):
                 seed=tcfg.seed,
             )
 
-    # train-step pytree: only the keys the loss consumes travel to device
-    # (the reference's collate output, train_audioldm_lora.py:415-420)
-    keys = ("log_mel_spec", "input_ids", "attention_mask")
+    # train-step pytree: the loss keys plus any numeric add-on outputs
+    # (conditioning signals ride along like the reference's full collate
+    # dict, train_audioldm_lora.py:415-420 — XLA drops unused inputs); the
+    # big host-side intermediates (waveform/stft) and eval-only extras stay
+    # on the host
+    base_keys = ("log_mel_spec", "input_ids", "attention_mask")
+    host_only = {"waveform", "stft", "waveform_48k", "random_start",
+                 "duration", "sampling_rate", "text"}
+
+    def to_device_batch(b):
+        out = {k: b[k] for k in base_keys}
+        for k, v in b.items():
+            if k not in out and k not in host_only and isinstance(v, np.ndarray):
+                out[k] = v
+        return out
+
     data_iter = (
-        {k: b[k] for k in keys}
+        to_device_batch(b)
         for b in pipe.batches(global_bs, np.random.default_rng(tcfg.seed), prefetch=run.data.prefetch)
     )
     state, metrics = trainer.fit(

@@ -77,9 +77,18 @@ def calculate_relative_bandwidth(item: dict, cfg: MelConfig) -> dict:
 
 
 @register_plugin("calculate_mel_spec_relative_bandwidth_as_extra_channel")
-def mel_bandwidth_extra_channel(item: dict, cfg: MelConfig, latent_t_size: int = 256, latent_f_size: int = 16) -> dict:
+def mel_bandwidth_extra_channel(
+    item: dict, cfg: MelConfig,
+    latent_t_size: Optional[int] = None, latent_f_size: Optional[int] = None,
+) -> dict:
     """Latent-resolution band mask conditioning channel
-    (reference: dataset_plugin.py:103-131)."""
+    (reference: dataset_plugin.py:103-131). Latent grid defaults to the mel
+    geometry over the audioldm-s VAE's 4x downsampling (tracks cfg.duration/
+    cfg.n_mel; the reference reads it from the model config)."""
+    if latent_t_size is None:
+        latent_t_size = cfg.target_length // 4
+    if latent_f_size is None:
+        latent_f_size = cfg.n_mel // 4
     mel = np.exp(np.clip(np.asarray(item["log_mel_spec"]), None, 10))
     freq_dim = mel.shape[-1]
     dist = np.cumsum(mel.sum(axis=0))
@@ -369,7 +378,7 @@ class DataPipeline:
         }
         if with_plugins and self.add_ons:
             log_mel_np, stft_np = np.asarray(log_mel), np.asarray(stft)
-            extras: dict[str, list] = {}
+            rows: list[dict] = []
             for b, idx in enumerate(indices):
                 item = {
                     "waveform": waveforms[b],
@@ -380,13 +389,24 @@ class DataPipeline:
                     "duration": self.mel_cfg.duration,
                     "sampling_rate": self.mel_cfg.sampling_rate,
                 }
+                row: dict = {}
                 for fn in self.add_ons:
-                    for k, v in fn(item, self.mel_cfg).items():
-                        extras.setdefault(k, []).append(v)
-            for k, v in extras.items():
+                    row.update(fn(item, self.mel_cfg))
+                rows.append(row)
+            for k in {k for r in rows for k in r}:
+                vals = [r.get(k) for r in rows]
+                if k == "text":
+                    # flan-t5 dispatch blanks text only for TTS items
+                    # (dataset_plugin.py:148-170); caption items keep theirs
+                    batch[k] = [captions[b] if v is None else v for b, v in enumerate(vals)]
+                    continue
+                if any(v is None for v in vals):
+                    raise ValueError(
+                        f"add-on output {k!r} produced for only some batch items"
+                    )
                 # numeric add-ons stack into batch arrays; string add-ons
-                # (e.g. the flan-t5 'text' field) stay as python lists
-                batch[k] = np.stack(v) if isinstance(v[0], np.ndarray) else list(v)
+                # stay as python lists
+                batch[k] = np.stack(vals) if isinstance(vals[0], np.ndarray) else list(vals)
         return batch
 
     def batches(

@@ -106,11 +106,12 @@ def decode_pcm16(data: bytes, channels: int) -> np.ndarray:
     fallback matches bit-for-bit."""
     raw = np.frombuffer(data, dtype="<i2")
     n_frames = raw.shape[0] // channels
+    raw = raw[: n_frames * channels]  # drop a truncated trailing frame
     lib = _load()
     if not lib:
         x = raw.astype(np.float32) / 32768.0
         return x.reshape(-1, channels).mean(axis=1) if channels > 1 else x
-    raw = np.ascontiguousarray(raw[: n_frames * channels])
+    raw = np.ascontiguousarray(raw)
     out = np.empty(n_frames, np.float32)
     lib.decode_pcm16_f32(
         raw.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), n_frames, channels, _fptr(out)

@@ -87,18 +87,20 @@ def get_vits_phoneme_ids_no_padding(item: dict, cfg: MelConfig) -> dict:
 @register_plugin("extract_vits_phoneme_and_flant5_text")
 def extract_vits_phoneme_and_flant5_text(item: dict, cfg: MelConfig) -> dict:
     """TTS-vs-caption dispatch (dataset_plugin.py:148-160): items with VITS
-    ``phonemes`` get phoneme ids and an empty text; caption-only items get an
-    empty phoneme sequence."""
+    ``phonemes`` get phoneme ids AND an empty text (TTS data has no caption);
+    caption-only items get an empty phoneme sequence and keep their caption
+    (``text`` is only set in the has-phonemes branch, :155-156)."""
     meta = item.get("metadata") or {}
     assert "phoneme" not in meta, (
         "metadata has fastspeech 'phoneme'; use extract_fs2_phoneme_and_flant5_text"
     )
+    if "phonemes" in meta:
+        out = get_vits_phoneme_ids_no_padding(item, cfg)
+        out["text"] = ""
+        return out
     sub = dict(item)
-    if "phonemes" not in meta:
-        sub["metadata"] = {"phonemes": ""}
-    out = get_vits_phoneme_ids_no_padding(sub, cfg)
-    out["text"] = ""
-    return out
+    sub["metadata"] = {"phonemes": ""}
+    return get_vits_phoneme_ids_no_padding(sub, cfg)
 
 
 # -- fs2 / g2p_en phoneme tables ---------------------------------------------
@@ -142,14 +144,16 @@ def extract_fs2_phoneme_g2p_en_feature(item: dict, cfg: MelConfig) -> dict:
 
 @register_plugin("extract_fs2_phoneme_and_flant5_text")
 def extract_fs2_phoneme_and_flant5_text(item: dict, cfg: MelConfig) -> dict:
-    """fs2 analogue of the VITS/flan-t5 dispatch (dataset_plugin.py:163-170)."""
+    """fs2 analogue of the VITS/flan-t5 dispatch (dataset_plugin.py:163-170);
+    like the VITS variant, ``text`` is blanked only for phoneme items."""
     meta = item.get("metadata") or {}
+    if "phoneme" in meta:
+        out = extract_fs2_phoneme_g2p_en_feature(item, cfg)
+        out["text"] = ""
+        return out
     sub = dict(item)
-    if "phoneme" not in meta:
-        sub["metadata"] = {"phoneme": []}
-    out = extract_fs2_phoneme_g2p_en_feature(sub, cfg)
-    out["text"] = ""
-    return out
+    sub["metadata"] = {"phoneme": []}
+    return extract_fs2_phoneme_g2p_en_feature(sub, cfg)
 
 
 @register_plugin("extract_phoneme_g2p_en_feature")
@@ -162,13 +166,25 @@ def extract_phoneme_g2p_en_feature(item: dict, cfg: MelConfig) -> dict:
 
 @register_plugin("extract_drum_beat")
 def extract_drum_beat(
-    item: dict, cfg: MelConfig, latent_t_size: int = 256, latent_f_size: int = 16
+    item: dict,
+    cfg: MelConfig,
+    latent_t_size: int | None = None,
+    latent_f_size: int | None = None,
 ) -> dict:
     """Beat/downbeat conditioning signal on the latent grid
     (dataset_plugin.py:422-508): beat rows get -0.5, downbeat rows +1.0
     (so a coinciding downbeat+beat reads +0.5). Beat positions are sample
     indices in the ORIGINAL file at ``metadata['sample_rate']``; they are
-    shifted by the random segment start and mapped onto latent time rows."""
+    shifted by the random segment start and mapped onto latent time rows.
+
+    The reference reads latent_t/f_size from the model config (:480-483);
+    here they default to the mel geometry over the audioldm-s VAE's 4x
+    downsampling (1024x64 mel -> 256x16 latent), so they track cfg.duration
+    / cfg.n_mel instead of being frozen at the 10.24 s values."""
+    if latent_t_size is None:
+        latent_t_size = cfg.target_length // 4
+    if latent_f_size is None:
+        latent_f_size = cfg.n_mel // 4
     meta = item.get("metadata") or {}
     assert (
         "sample_rate" in meta and "beat" in meta and "downbeat" in meta

@@ -193,7 +193,11 @@ class ServeEngine:
         if bucket > b:
             prompts = list(prompts) + [self.negative_prompt] * (bucket - b)
             if adapters is not None:
-                adapters = list(adapters) + ["base"] * (bucket - b)
+                # pad rows are trimmed from the output, so their adapter is
+                # arbitrary — reuse the first request's adapter to keep
+                # uniform chunks on the merged-cache fast path (0.78 vs
+                # 1.16 s/clip) even when the chunk underfills its bucket
+                adapters = list(adapters) + [adapters[0] or "base"] * (bucket - b)
         ids, mask, u_ids, u_mask = self._tokenize(prompts)
         rng = jax.random.PRNGKey(seed) if rng_key is None else rng_key
         do_cfg = guidance_scale != 1.0

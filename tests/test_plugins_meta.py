@@ -88,10 +88,13 @@ def test_vits_flant5_dispatch():
         {"metadata": {"phonemes": "ab"}}, CFG
     )
     assert out["text"] == "" and out["phoneme_idx"].shape == (310,)
-    # caption-only item: empty phoneme sequence = just the end marker
+    # caption-only item: empty phoneme sequence (just the end marker) and NO
+    # text override — the reference blanks text only in the has-phonemes
+    # branch (dataset_plugin.py:155-156), so captions survive
     out2 = PLUGINS["extract_vits_phoneme_and_flant5_text"]({"metadata": {}}, CFG)
     assert out2["phoneme_idx"][0] == pm.VITS_SYMBOLS.index("⚠")
     assert not out2["phoneme_idx"][1:].any()
+    assert "text" not in out2
     with pytest.raises(AssertionError):
         PLUGINS["extract_vits_phoneme_and_flant5_text"](
             {"metadata": {"phoneme": ["K"]}}, CFG
@@ -124,10 +127,15 @@ def test_g2p_phoneme_feature():
     assert (out[4:] == 40).all()
 
 
-def test_fs2_flant5_dispatch_empty():
-    out = PLUGINS["extract_fs2_phoneme_and_flant5_text"]({"metadata": {}}, CFG)
-    assert out["text"] == ""
-    assert (out["phoneme_idx"] == 71).all()
+def test_fs2_flant5_dispatch():
+    out = PLUGINS["extract_fs2_phoneme_and_flant5_text"](
+        {"metadata": {"phoneme": ["K"]}}, CFG
+    )
+    assert out["text"] == "" and out["phoneme_idx"][0] == 0
+    # caption-only: empty (all-pad) phoneme sequence, caption kept
+    out2 = PLUGINS["extract_fs2_phoneme_and_flant5_text"]({"metadata": {}}, CFG)
+    assert "text" not in out2
+    assert (out2["phoneme_idx"] == 71).all()
 
 
 def test_drum_beat_rows_and_values():
@@ -187,3 +195,32 @@ def test_pipeline_integration_with_metadata_addons():
     batch = pipe.make_batch([0, 1], np.random.default_rng(1))
     assert batch["phoneme_idx"].shape == (2, 310)
     assert batch["text"] == ["", ""]
+
+
+def test_pipeline_mixed_tts_and_caption_batch():
+    """A batch mixing TTS (phonemes) and caption-only items collates with
+    per-item text: TTS rows blanked, caption rows keep their caption."""
+    from audioldm_tpu.data import AudioCaptionDataset, DataPipeline
+
+    class Tok:
+        def __call__(self, texts, max_length=None, **kw):
+            ids = np.ones((len(texts), max_length), np.int32)
+            mask = np.zeros((len(texts), max_length), np.int32)
+            mask[:, :8] = 1
+            return {"input_ids": ids, "attention_mask": mask}
+
+    rng = np.random.default_rng(0)
+    sr = 16000
+    items = [
+        {"wav": rng.standard_normal(sr).astype(np.float32), "sr": sr,
+         "caption": "tts item", "metadata": {"phonemes": "ab"}},
+        {"wav": rng.standard_normal(sr).astype(np.float32), "sr": sr,
+         "caption": "a drum loop", "metadata": {}},
+    ]
+    pipe = DataPipeline(
+        AudioCaptionDataset(items), Tok(),
+        add_ons=["extract_vits_phoneme_and_flant5_text"],
+    )
+    batch = pipe.make_batch([0, 1], np.random.default_rng(1))
+    assert batch["text"] == ["", "a drum loop"]
+    assert batch["phoneme_idx"].shape == (2, 310)

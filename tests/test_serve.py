@@ -133,9 +133,11 @@ def test_flush_bucketing_one_compile(engine):
     engine.submit("jazz piano", "jazz")
     out1 = engine.flush(**GEN)
     t1 = engine.traces
-    for _ in range(3):
-        engine.submit("boom bap", "jazz")
-    out2 = engine.flush(**GEN)
+    # second flush MIXED (uniform chunks would now take the merged route)
+    engine.submit("boom bap", "jazz")
+    engine.submit("boom bap", "jazz")
+    engine.submit("hip hop", "hiphop")
+    out2 = engine.flush(group_by_adapter=False, **GEN)
     t2 = engine.traces
     assert out1.shape == (4, 160) and out2.shape == (3, 160)
     assert t1 > t0  # first flush compiled
@@ -150,6 +152,24 @@ def test_flush_rng_never_collides(engine):
     engine.submit("hip hop beat", "hiphop")
     b = engine.flush(**GEN)
     assert np.max(np.abs(a - b)) > 1e-6
+
+
+def test_underfilled_bucket_keeps_merged_route(engine):
+    """3 uniform-adapter requests padding up to bucket 4 must STILL route
+    through the merged-weight cache (pad rows reuse the first adapter —
+    they're trimmed from the output anyway)."""
+    engine._merged_cache.clear()
+    out = engine.generate(
+        ["hip hop beat", "boom bap", "hip hop beat"],
+        adapters=["hiphop", "hiphop", "hiphop"], **GEN,
+    )
+    assert out.shape == (3, 160)
+    assert "hiphop" in engine._merged_cache  # merged path was taken
+    full = engine.generate(
+        ["hip hop beat", "boom bap", "hip hop beat", "x"],
+        adapters=["hiphop"] * 4, **GEN,
+    )
+    np.testing.assert_allclose(out, full[:3], atol=1e-6)
 
 
 def test_gather_dense_matches_rank_r(engine):
