@@ -1,9 +1,9 @@
 """General utilities (reference component #9, script/utilities/tools.py):
 prompt-list -> JSON dataset builder, checkpoint discovery, file integrity,
-nested-config retrieval. The reference's MD5'd checkpoint *downloader*
-(tools.py:128-154) is gated behind local-file verification here — this
-framework runs in zero-egress environments; fetching is the deployment
-system's job."""
+nested-config retrieval, and the MD5'd aux-checkpoint downloader
+(tools.py:23-39,128-154; stdlib urllib, file:// supported so the logic is
+testable in zero-egress environments, where network fetches raise a clear
+error)."""
 
 from __future__ import annotations
 
@@ -75,3 +75,62 @@ def retrieve(obj: Any, path: str, default: Any = None, sep: str = "/") -> Any:
         else:
             return default
     return cur
+
+
+# -- checkpoint downloader (reference: tools.py:23-39,128-154) ---------------
+# The reference's vggishish/melception aux-checkpoint maps, kept verbatim so
+# get_ckpt_path resolves the same names to the same files + MD5s.
+URL_MAP = {
+    "vggishish_lpaps": "https://a3s.fi/swift/v1/AUTH_a235c0f452d648828f745589cde1219a/specvqgan_public/vggishish16.pt",
+    "vggishish_mean_std_melspec_10s_22050hz": "https://a3s.fi/swift/v1/AUTH_a235c0f452d648828f745589cde1219a/specvqgan_public/train_means_stds_melspec_10s_22050hz.txt",
+    "melception": "https://a3s.fi/swift/v1/AUTH_a235c0f452d648828f745589cde1219a/specvqgan_public/melception-21-05-10T09-28-40.pt",
+}
+CKPT_MAP = {
+    "vggishish_lpaps": "vggishish16.pt",
+    "vggishish_mean_std_melspec_10s_22050hz": "train_means_stds_melspec_10s_22050hz.txt",
+    "melception": "melception-21-05-10T09-28-40.pt",
+}
+MD5_MAP = {
+    "vggishish_lpaps": "197040c524a07ccacf7715d7080a80bd",
+    "vggishish_mean_std_melspec_10s_22050hz": "f449c6fd0e248936c16f6d22492bb625",
+    "melception": "a71a41041e945b457c7d3d814bbcf72d",
+}
+
+
+def download(url: str, local_path: str, chunk_size: int = 1 << 20) -> str:
+    """Stream a URL to ``local_path`` (reference: tools.py:128-138).
+    Stdlib urllib (no requests dep); supports file:// for offline tests.
+    Raises a clear error in zero-egress environments."""
+    import urllib.error
+    import urllib.request
+
+    parent = os.path.split(local_path)[0]
+    if parent:
+        os.makedirs(parent, exist_ok=True)
+    try:
+        with urllib.request.urlopen(url) as r, open(local_path, "wb") as f:
+            while True:
+                block = r.read(chunk_size)
+                if not block:
+                    break
+                f.write(block)
+    except (urllib.error.URLError, OSError) as e:
+        raise RuntimeError(
+            f"could not download {url}: {e} — this environment may have no "
+            f"network egress; place the file at {local_path} manually"
+        ) from e
+    return local_path
+
+
+def get_ckpt_path(name: str, root: str, check: bool = False) -> str:
+    """Resolve an aux checkpoint by name, downloading + MD5-verifying when
+    missing or corrupt (reference: tools.py:147-154)."""
+    if name not in URL_MAP:
+        raise KeyError(f"unknown checkpoint {name!r}; known: {sorted(URL_MAP)}")
+    path = os.path.join(root, CKPT_MAP[name])
+    if not os.path.exists(path) or (check and md5_file(path) != MD5_MAP[name]):
+        download(URL_MAP[name], path)
+        md5 = md5_file(path)
+        if md5 != MD5_MAP[name]:
+            raise ValueError(f"md5 mismatch for {name}: got {md5}, want {MD5_MAP[name]}")
+    return path

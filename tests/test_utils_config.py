@@ -177,3 +177,49 @@ def test_from_hf_rejects_unknown_and_unsupported():
     assert DDIMConfig.from_hf(ddim_good).beta_end == 0.0195
     with pytest.raises(UnsupportedConfigError):
         DDIMConfig.from_hf({**ddim_good, "rescale_betas_zero_snr": True})
+
+
+def test_download_and_get_ckpt_path_offline(tmp_path, monkeypatch):
+    """Downloader parity (reference tools.py:128-154) exercised offline via
+    file:// URLs: fetch, MD5 verify, cache hit, corrupt-file redownload,
+    unknown-name error."""
+    import hashlib
+
+    from audioldm_tpu.utils import tools
+
+    src = tmp_path / "src.bin"
+    src.write_bytes(b"checkpoint-bytes")
+    md5 = hashlib.md5(b"checkpoint-bytes").hexdigest()
+    url = "file://" + str(src)
+
+    # plain download
+    out = tools.download(url, str(tmp_path / "dl" / "a.bin"))
+    assert open(out, "rb").read() == b"checkpoint-bytes"
+
+    monkeypatch.setitem(tools.URL_MAP, "tiny", url)
+    monkeypatch.setitem(tools.CKPT_MAP, "tiny", "tiny.bin")
+    monkeypatch.setitem(tools.MD5_MAP, "tiny", md5)
+
+    root = str(tmp_path / "root")
+    p = tools.get_ckpt_path("tiny", root, check=True)
+    assert open(p, "rb").read() == b"checkpoint-bytes"
+
+    # corrupt the cached file -> check=True re-downloads and repairs
+    open(p, "wb").write(b"garbage")
+    p2 = tools.get_ckpt_path("tiny", root, check=True)
+    assert open(p2, "rb").read() == b"checkpoint-bytes"
+
+    # md5 mismatch raises
+    monkeypatch.setitem(tools.MD5_MAP, "tiny", "0" * 32)
+    open(p, "wb").write(b"garbage")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="md5 mismatch"):
+        tools.get_ckpt_path("tiny", root, check=True)
+
+    with _pytest.raises(KeyError):
+        tools.get_ckpt_path("nope", root)
+
+    # unreachable URL -> clear zero-egress error
+    with _pytest.raises(RuntimeError, match="could not download"):
+        tools.download("file:///nonexistent/x.bin", str(tmp_path / "x.bin"))
