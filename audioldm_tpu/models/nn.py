@@ -292,9 +292,28 @@ def attention(
             y = y + lora_delta(name, inp)
         return y
 
-    q = _split_heads(proj("to_q", x), heads)
-    k = _split_heads(proj("to_k", context), heads)
-    v = _split_heads(proj("to_v", context), heads)
+    if context is x:
+        # self-attention: q/k/v share the input, so the three bias-free
+        # projections fuse into ONE [C, 3C] matmul (better MXU occupancy than
+        # 3 small launches); LoRA deltas still apply per projection
+        c = x.shape[-1]
+        w = jnp.concatenate(
+            [p["to_q"]["kernel"], p["to_k"]["kernel"], p["to_v"]["kernel"]], axis=-1
+        ).astype(x.dtype)
+        qkv = jnp.matmul(x, w, preferred_element_type=jnp.float32).astype(x.dtype)
+        qf, kf, vf = qkv[..., :c], qkv[..., c : 2 * c], qkv[..., 2 * c :]
+        if lora is not None:
+            if "to_q" in lora:
+                qf = qf + lora_delta("to_q", x)
+            if "to_k" in lora:
+                kf = kf + lora_delta("to_k", x)
+            if "to_v" in lora:
+                vf = vf + lora_delta("to_v", x)
+        q, k, v = (_split_heads(t, heads) for t in (qf, kf, vf))
+    else:
+        q = _split_heads(proj("to_q", x), heads)
+        k = _split_heads(proj("to_k", context), heads)
+        v = _split_heads(proj("to_v", context), heads)
     out = _merge_heads(sdpa(q, k, v, mask))
     y = linear(p["to_out"], out)
     if lora is not None and "to_out" in lora:
