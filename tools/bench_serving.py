@@ -119,5 +119,33 @@ def main():
         print(f"serve batch=4 {tag}: {dt:.3f} s/batch = {dt/4:.3f} s/clip ({4/dt:.2f} clips/s)", flush=True)
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and "--sweep" not in sys.argv:
     main()
+
+
+def batch_sweep():
+    """Throughput vs batch size for uniform-adapter (merged-route) traffic."""
+    use_flash_attention(True)
+    modules = full_modules()
+    lcfg = LoRAConfig(r=4, lora_alpha=4)
+    adapter = jax.tree.map(
+        lambda x: (x + 0.01).astype(jnp.bfloat16),
+        init_lora(jax.random.PRNGKey(1), modules.unet, lcfg),
+    )
+    bank = AdapterBank.from_adapters({"a": adapter}, lcfg)
+    for b in (1, 2, 4, 8):
+        eng = ServeEngine(modules, Tok(), lcfg, bank=bank, bucket_sizes=(b,))
+        prompts = ["hip hop beat"] * b
+        gen = dict(num_inference_steps=50, audio_length_in_s=10.24, guidance_scale=2.5)
+        eng.generate(prompts, adapters=["a"] * b, seed=0, **gen)
+        eng.generate(prompts, adapters=["a"] * b, seed=1, **gen)
+        t0 = time.perf_counter()
+        for i in range(3):
+            eng.generate(prompts, adapters=["a"] * b, seed=2 + i, **gen)
+        dt = (time.perf_counter() - t0) / 3
+        print(f"serve merged batch={b}: {dt:.3f} s/batch = {dt/b:.3f} s/clip ({b/dt:.2f} clips/s)", flush=True)
+
+
+if __name__ == "__main__" and "--sweep" in sys.argv:
+    batch_sweep()
+    sys.exit(0)
