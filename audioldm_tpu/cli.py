@@ -175,6 +175,10 @@ def cmd_train(args):
                           use_tensorboard=args.tensorboard)
     trainer = Trainer(modules, run.lora, tcfg, output_dir, mesh=mesh, logger=logger,
                       dtype=jnp.bfloat16 if tcfg.mixed_precision == "bfloat16" else jnp.float32)
+    # the trainer may have cast the frozen towers to bf16 — drop our fp32
+    # reference so only ONE copy of the GB-scale weights stays in HBM
+    # (validation closures below must capture the same bundle)
+    modules = trainer.modules
 
     lora = init_lora(jax.random.PRNGKey(tcfg.seed), modules.unet, run.lora)
     state = init_train_state(lora, trainer.optimizer)
@@ -217,13 +221,22 @@ def cmd_train(args):
                 prepared, _ = pipe.prepare_waveform(wav, sr, rng0)
                 ref_audios.append(prepared)
 
+        # ONE compiled generate fn reused across every validation (a fresh
+        # make_generate_fn per call would re-trace the whole pipeline)
+        from audioldm_tpu.pipeline.generate import make_generate_fn
+
+        val_generate = make_generate_fn(
+            modules, num_inference_steps=args.val_steps,
+            audio_length_in_s=args.val_seconds, with_lora=True,
+        )
+
         def validate_fn(state, step):
             return log_validation(
                 modules, state.lora, run.lora, tokenizer, val_prompt,
                 num_clips=val_clips, num_inference_steps=args.val_steps,
                 audio_length_in_s=args.val_seconds, scorer=scorer,
                 ref_audios_16k=ref_audios, logger=logger, step=step,
-                seed=tcfg.seed,
+                seed=tcfg.seed, generate_fn=val_generate,
             )
 
     # train-step pytree: the loss keys plus any numeric add-on outputs

@@ -453,11 +453,14 @@ class DataPipeline:
         stop = object()
 
         def worker():
+            # exceptions travel to the consumer — a crashed pipeline must
+            # NOT look like clean end-of-data to the training loop
             try:
                 for item in gen():
                     q.put(item)
-            finally:
                 q.put(stop)
+            except BaseException as e:  # noqa: BLE001 — re-raised in consumer
+                q.put(e)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
@@ -465,4 +468,6 @@ class DataPipeline:
             item = q.get()
             if item is stop:
                 break
+            if isinstance(item, BaseException):
+                raise item
             yield item

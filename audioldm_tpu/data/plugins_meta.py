@@ -67,7 +67,10 @@ def get_vits_phoneme_ids(item: dict, cfg: MelConfig) -> dict:
     seq = [_VITS_SYMBOL_TO_ID[s] for s in meta["phonemes"]]
     interleaved: list[int] = [0] * (2 * len(seq) + 1)
     interleaved[1::2] = seq
-    return {"phoneme_idx": _pad_to(interleaved, _VITS_PAD_LENGTH, 0)}
+    # >154 phonemes would overflow the 310 slot; the reference would emit an
+    # over-length row here (dataset_plugin.py:47-54 never truncates) and
+    # crash at collate — truncate instead so batching stays well-formed
+    return {"phoneme_idx": _pad_to(interleaved[:_VITS_PAD_LENGTH], _VITS_PAD_LENGTH, 0)}
 
 
 @register_plugin("get_vits_phoneme_ids_no_padding")

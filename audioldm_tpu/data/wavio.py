@@ -30,12 +30,17 @@ def read_wav(path: str) -> tuple[np.ndarray, int]:
             payload = f.read(size + (size % 2))[:size]
             if cid == b"fmt ":
                 fmt = struct.unpack("<HHIIHH", payload[:16])
+                if fmt[0] == 0xFFFE and len(payload) >= 26:
+                    # WAVE_FORMAT_EXTENSIBLE: the real format code is the
+                    # first two bytes of the SubFormat GUID (offset 24)
+                    sub = struct.unpack("<H", payload[24:26])[0]
+                    fmt = (sub,) + fmt[1:]
             elif cid == b"data":
                 data = payload
         if fmt is None or data is None:
             raise ValueError(f"missing fmt/data chunk: {path}")
         audio_format, channels, sr, _, _, bits = fmt
-        if audio_format == 3 or (audio_format == 0xFFFE and bits == 32):
+        if audio_format == 3:
             x = np.frombuffer(data, dtype="<f4").astype(np.float32)
         elif bits == 16:
             # hot path for the common PCM16 case: C++ decode+downmix in one

@@ -80,8 +80,11 @@ def kernel_audio_distance(
     scale: float = SCALE_FACTOR,
 ) -> jnp.ndarray:
     """Unbiased MMD^2(x, y) * scale with median-heuristic bandwidth from
-    ``y`` (the reference-audio set) — exact formula parity with
-    train_audioldm_lora.py:247-294 including the <1e-6/NaN fallback to 1.0."""
+    ``y`` — exact formula parity with train_audioldm_lora.py:247-294
+    including the <1e-6/NaN fallback to 1.0. NB the reference calls this as
+    ``calc_kernel_audio_distance(ref, gen)`` (:321), so the bandwidth comes
+    from the GENERATED set; callers here preserve that order
+    (``kad(ref, gen)``)."""
     x = x.astype(jnp.float32)
     y = y.astype(jnp.float32)
     if bandwidth is None:

@@ -189,6 +189,34 @@ class ServeEngine:
         through the merged-weight cache (zero adapter overhead — the
         reference's generate_audio.py intent, done per-batch)."""
         b = len(prompts)
+        if adapters is not None and self.bank is None and any(
+            a not in (None, "base") for a in adapters
+        ):
+            raise ValueError(
+                f"adapters {sorted(set(a for a in adapters if a))} requested "
+                "but no AdapterBank is configured — serving would silently "
+                "fall back to base weights"
+            )
+        max_bucket = self.bucket_sizes[-1]
+        if b > max_bucket:
+            # oversized batches chunk to the largest bucket: keeps the
+            # compile-once-per-bucket property (and dp divisibility)
+            outs = []
+            for i in range(0, b, max_bucket):
+                outs.append(
+                    self.generate(
+                        list(prompts[i : i + max_bucket]),
+                        adapters=None if adapters is None else list(adapters[i : i + max_bucket]),
+                        num_inference_steps=num_inference_steps,
+                        audio_length_in_s=audio_length_in_s,
+                        guidance_scale=guidance_scale,
+                        scheduler=scheduler,
+                        rng_key=jax.random.fold_in(
+                            jax.random.PRNGKey(seed) if rng_key is None else rng_key, i
+                        ),
+                    )
+                )
+            return np.concatenate(outs, axis=0)
         bucket = self._bucket(b)
         if bucket > b:
             prompts = list(prompts) + [self.negative_prompt] * (bucket - b)

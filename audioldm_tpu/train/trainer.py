@@ -48,12 +48,15 @@ def make_lr_schedule(cfg: TrainConfig, lr_end: float = 1e-7, power: float = 1.0)
     """The single source of truth for the LR curve — used by both the
     optimizer and ``Trainer.fit``'s logging, so the logged lr always matches
     what optax applies (incl. the warmup join)."""
+    # NB: join_schedules already feeds the post-boundary schedule a step
+    # count shifted by the boundary, so the decay must start at
+    # transition_begin=0 — a second offset would hold the LR flat for
+    # another warmup-length span and overshoot max_train_steps.
     schedule = optax.polynomial_schedule(
         init_value=cfg.learning_rate,
         end_value=lr_end,
         power=power,
         transition_steps=max(cfg.max_train_steps - cfg.lr_warmup_steps, 1),
-        transition_begin=cfg.lr_warmup_steps,
     )
     if cfg.lr_warmup_steps > 0:
         warmup = optax.linear_schedule(0.0, cfg.learning_rate, cfg.lr_warmup_steps)

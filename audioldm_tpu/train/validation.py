@@ -68,11 +68,17 @@ def log_validation(
     step: int = 0,
     seed: int = 0,
     dtype=jnp.bfloat16,
+    generate_fn=None,
 ) -> dict:
     """Returns {"audios", "original_audios", "clap_score", "original_clap_score",
     "kad_lora", "kad_original"} (metric names mirror the reference's wandb
-    keys, train_audioldm_lora.py:203-229,583-589)."""
-    fn = make_generate_fn(
+    keys, train_audioldm_lora.py:203-229,583-589).
+
+    ``generate_fn``: a ``make_generate_fn(..., with_lora=True)`` result to
+    reuse across validations — building a fresh one per call would re-trace
+    (and on a cold cache re-compile) the whole pipeline every validation;
+    the train CLI builds it once."""
+    fn = generate_fn or make_generate_fn(
         modules, num_inference_steps=num_inference_steps,
         audio_length_in_s=audio_length_in_s, guidance_scale=guidance_scale,
         dtype=dtype, with_lora=True,

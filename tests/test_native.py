@@ -66,3 +66,39 @@ def test_native_pcm16_decode_matches_numpy(rng):
         back, sr = read_wav(p)
         assert sr == 16000
         np.testing.assert_allclose(back, np.round(wav * 32767) / 32768.0, atol=1.0 / 32768)
+
+
+def test_wave_format_extensible_subformat(tmp_path, rng):
+    """0xFFFE extensible wavs resolve the REAL format from the SubFormat
+    GUID: 32-bit integer PCM must not be misread as float32."""
+    import struct
+
+    from audioldm_tpu.data.wavio import read_wav
+
+    def write_extensible(path, data_bytes, sub_code, bits, sr=16000, ch=1):
+        # fmt payload: base 16 + cbSize(2) + validbits(2) + mask(4) + GUID(16)
+        guid = struct.pack("<H", sub_code) + b"\x00\x00" + bytes(
+            [0x00, 0x00, 0x10, 0x00, 0x80, 0x00, 0x00, 0xAA, 0x00, 0x38, 0x9B, 0x71]
+        )
+        fmt = struct.pack("<HHIIHH", 0xFFFE, ch, sr, sr * ch * bits // 8, ch * bits // 8, bits)
+        fmt += struct.pack("<HHI", 22, bits, 0x4) + guid
+        riff = b"WAVE"
+        riff += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        riff += b"data" + struct.pack("<I", len(data_bytes)) + data_bytes
+        with open(path, "wb") as f:
+            f.write(b"RIFF" + struct.pack("<I", len(riff)) + riff)
+
+    x = (rng.uniform(-0.5, 0.5, 256)).astype(np.float32)
+
+    # int32 PCM via extensible header
+    p1 = str(tmp_path / "i32.wav")
+    write_extensible(p1, (x * 2147483647).astype("<i4").tobytes(), sub_code=1, bits=32)
+    back, sr = read_wav(p1)
+    assert sr == 16000
+    np.testing.assert_allclose(back, x, atol=2e-6)
+
+    # float32 via extensible header
+    p2 = str(tmp_path / "f32.wav")
+    write_extensible(p2, x.astype("<f4").tobytes(), sub_code=3, bits=32)
+    back2, _ = read_wav(p2)
+    np.testing.assert_allclose(back2, x, atol=0)

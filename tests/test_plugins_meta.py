@@ -62,6 +62,11 @@ def test_vits_phoneme_ids_interleaves_blanks():
     assert not out[7:].any()
 
 
+def test_vits_phoneme_ids_truncates_overflow():
+    out = PLUGINS["get_vits_phoneme_ids"]({"metadata": {"phonemes": "a" * 200}}, CFG)
+    assert out["phoneme_idx"].shape == (310,)
+
+
 def test_vits_phoneme_ids_strict_on_unknown():
     with pytest.raises(KeyError):
         PLUGINS["get_vits_phoneme_ids"]({"metadata": {"phonemes": "☃"}}, CFG)

@@ -154,6 +154,35 @@ def test_flush_rng_never_collides(engine):
     assert np.max(np.abs(a - b)) > 1e-6
 
 
+def test_adapters_without_bank_raise():
+    """Requesting adapters on an engine with no bank must fail loudly, not
+    silently serve base weights."""
+    modules = random_modules(
+        jax.random.PRNGKey(0),
+        unet_cfg=TINY_UNET, vae_cfg=TINY_VAE, text_cfg=TINY_TEXT, vocoder_cfg=TINY_VOC,
+        ddim_cfg=DDIMConfig(),
+    )
+    eng = ServeEngine(modules, DummyTokenizer(), LoRAConfig(r=2, lora_alpha=2), dtype=jnp.float32)
+    with pytest.raises(ValueError, match="no AdapterBank"):
+        eng.generate(["x"], adapters=["jazz"], **GEN)
+    # base/None adapters are fine without a bank
+    out = eng.generate(["x"], adapters=["base", None][:1], **GEN)
+    assert out.shape == (1, 160)
+
+
+def test_oversized_batch_chunks_to_max_bucket(engine):
+    """A batch larger than the largest bucket splits into max-bucket chunks
+    (no per-size retrace, dp divisibility preserved) and keeps row order."""
+    eng = ServeEngine(
+        engine.modules, DummyTokenizer(), engine.lora_cfg, bank=engine.bank,
+        dtype=jnp.float32, bucket_sizes=(2,),
+    )
+    prompts = ["hip hop beat", "boom bap", "smooth jazz", "hip hop beat", "last one"]
+    out = eng.generate(prompts, adapters=["hiphop"] * 5, **GEN)
+    assert out.shape == (5, 160)
+    assert eng.traces <= 1  # merged route, one bucket-2 compile total
+
+
 def test_underfilled_bucket_keeps_merged_route(engine):
     """3 uniform-adapter requests padding up to bucket 4 must STILL route
     through the merged-weight cache (pad rows reuse the first adapter —

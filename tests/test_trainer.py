@@ -69,6 +69,23 @@ def test_polynomial_schedule_matches_reference():
     assert abs(float(sched(100)) - 1e-7) < 1e-12
 
 
+def test_warmup_schedule_decays_immediately_after_warmup():
+    """With warmup, decay must start right AT lr_warmup_steps and hit lr_end
+    by max_train_steps (join_schedules already shifts the step — no double
+    offset holding the LR flat)."""
+    from audioldm_tpu.train.trainer import make_lr_schedule
+
+    W, M, peak = 10, 100, 1e-5
+    sched = make_lr_schedule(TrainConfig(learning_rate=peak, max_train_steps=M, lr_warmup_steps=W))
+    assert abs(float(sched(W)) - peak) < 1e-12
+    # halfway through the decay span
+    mid = W + (M - W) // 2
+    want = (peak - 1e-7) * (1 - (mid - W) / (M - W)) + 1e-7
+    assert abs(float(sched(mid)) - want) < 1e-12
+    assert abs(float(sched(M)) - 1e-7) < 1e-12  # reaches lr_end ON time
+    assert float(sched(W + 1)) < peak  # decaying immediately, not flat
+
+
 def test_train_step_updates_lora_and_runs(modules):
     lcfg = LoRAConfig(r=2, lora_alpha=2)
     tcfg = TrainConfig(learning_rate=1e-3, max_train_steps=10)
