@@ -41,13 +41,14 @@ _BLOCK_Q = 512  # on-device sweep (tools/bench_attn_focus.py): 512/4096 best
 _BLOCK_K = 4096  # kv resident per (bh, q-block): 0.84 ms vs 0.86 at 2048
 _LANE = 128
 _MIN_TOKENS = 2048  # below this XLA's fused attention is already optimal
+_BWD_BLOCK_K = 1024  # backward dkv/dq kv-block (supported() pins divisibility)
+_LOG2E = 1.4426950408889634
 
 
 def set_min_tokens(n: int):
     """Routing threshold override (perf experiments / other model geometries)."""
     global _MIN_TOKENS
     _MIN_TOKENS = n
-_LOG2E = 1.4426950408889634
 
 _ENABLED = False
 
@@ -200,9 +201,11 @@ def _flash_bwd_dq_kernel(q2_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_re
 
 
 def _flash_bwd_bh(q2, k, v, o, lse2, do, scale: float, interpret: bool,
-                  block_q: int = _BLOCK_Q, block_k: int = 1024):
+                  block_q: int = _BLOCK_Q, block_k: int | None = None):
     """Streaming flash backward: never materializes the [N, M] matrix in HBM.
     delta = rowsum(dO * O) is a cheap XLA elementwise reduce."""
+    if block_k is None:
+        block_k = _BWD_BLOCK_K  # module-level so sweeps can override live
     bh, n, d = q2.shape
     m = k.shape[1]
     block_q = min(block_q, n)
@@ -261,7 +264,7 @@ def supported(n: int, m: int, d: int) -> bool:
         n >= _MIN_TOKENS  # shorter sequences: XLA's fused attention wins
         and n % min(_BLOCK_Q, n) == 0
         and m % min(_BLOCK_K, m) == 0
-        and m % min(1024, m) == 0  # backward block_k
+        and m % min(_BWD_BLOCK_K, m) == 0  # backward block_k
         and n % 8 == 0
         and m % 8 == 0
         and d <= _LANE

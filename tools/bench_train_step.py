@@ -31,9 +31,15 @@ def main():
     ap.add_argument("--batch", type=int, default=2)
     ap.add_argument("--tokens", type=int, default=64, help="caption bucket length")
     ap.add_argument("--no-flash", action="store_true")
+    ap.add_argument("--bwd-bk", type=int, default=None, help="override flash backward block_k")
     args = ap.parse_args()
 
     use_flash_attention(not args.no_flash)
+    if args.bwd_bk:
+        import importlib
+
+        _fa = importlib.import_module("audioldm_tpu.kernels.flash_attention")
+        _fa._BWD_BLOCK_K = args.bwd_bk
     modules = full_modules()
     lcfg = LoRAConfig(r=2, lora_alpha=2)
     tcfg = TrainConfig(learning_rate=1e-4)
@@ -82,7 +88,7 @@ def main():
         t2 = time.perf_counter()
         best = min(best, ((t2 - t1) - (t1 - t0)) / (2 * n_lo))
     print(
-        f"train step b={b} tokens={L} flash={not args.no_flash}: "
+        f"train step b={b} tokens={L} flash={not args.no_flash} bwd_bk={args.bwd_bk}: "
         f"{best*1e3:.1f} ms -> {b/best:.1f} samples/s"
     )
 
