@@ -72,17 +72,29 @@ class AdapterBank:
         tiled = jnp.tile(idx, (cfg_batch,))
         return jax.tree.map(lambda bank: bank[tiled], self.stacked)
 
-    def gather_dense(self, idx: jnp.ndarray, cfg_batch: int = 1, dtype=jnp.bfloat16) -> dict:
+    def gather_dense(self, idx: jnp.ndarray, cfg_batch: int = 1, dtype=jnp.bfloat16,
+                     max_dense_dim: Optional[int] = None) -> dict:
         """Gather + densify: per-request ``ΔW = A·B`` ``[B, in, out]`` per
         projection, computed ONCE per request batch (outside the sampling
-        scan) so every in-scan LoRA application is a single aligned batched
-        matmul instead of two rank-r slivers (~160 of them per UNet step)."""
+        scan) so the in-scan LoRA application is a single aligned batched
+        matmul instead of two rank-r slivers.
+
+        ``max_dense_dim`` selects a HYBRID tree: only projections whose
+        in/out dims are <= the bound are densified (the low-C UNet levels,
+        where slivers over 4096 tokens are launch-heavy and the [B,C,C]
+        delta is tiny); larger projections keep rank-r (a dense [B,640,640]
+        delta is HBM-bound — PERF.md negative result)."""
         gathered = self.gather(idx, cfg_batch)
 
         def densify(entry):
-            a = entry["a"].astype(jnp.float32)
-            b = entry["b"].astype(jnp.float32)
-            return {"ab": jnp.einsum("bir,bro->bio", a, b).astype(dtype)}
+            a = entry["a"]
+            if max_dense_dim is not None and (
+                a.shape[1] > max_dense_dim or entry["b"].shape[2] > max_dense_dim
+            ):
+                return entry
+            af = a.astype(jnp.float32)
+            bf = entry["b"].astype(jnp.float32)
+            return {"ab": jnp.einsum("bir,bro->bio", af, bf).astype(dtype)}
 
         is_adapter = lambda x: isinstance(x, dict) and "a" in x and "b" in x
         return jax.tree.map(densify, gathered, is_leaf=is_adapter)
@@ -99,6 +111,7 @@ class ServeEngine:
         dtype=jnp.bfloat16,
         negative_prompt: str = "",
         bucket_sizes: Sequence[int] = (1, 2, 4, 8, 16),
+        dense_lora_max_dim: Optional[int] = None,
     ):
         self.modules = modules
         self.tokenizer = tokenizer
@@ -107,6 +120,9 @@ class ServeEngine:
         self.mesh = mesh
         self.dtype = dtype
         self.negative_prompt = negative_prompt
+        # hybrid mixed-adapter serving: densify per-request ΔW only for
+        # projections up to this dim (see AdapterBank.gather_dense)
+        self.dense_lora_max_dim = dense_lora_max_dim
         self.bucket_sizes = tuple(sorted(bucket_sizes))
         self._merged_cache: dict[str, AudioLDMModules] = {}
         self._fns: dict = {}
@@ -242,12 +258,18 @@ class ServeEngine:
             return np.asarray(fn(mods, ids, mask, u_ids, u_mask, rng))[:b]
 
         idx = self.bank.indices(names)
-        # NB: rank-r unmerged application beats per-request dense ΔW=AB here
-        # (measured 1.16 vs 1.29 s/clip): at the upper UNet levels C reaches
-        # 640, so batched [B,C,C] deltas cost real HBM+FLOPs while rank-r
-        # slivers stay tiny. gather_dense remains available for geometries
-        # where C is uniformly small.
-        lora = self.bank.gather(idx, cfg_batch=2 if do_cfg else 1)
+        # NB: rank-r unmerged application beats FULLY-dense per-request
+        # ΔW=AB here (measured 1.16 vs 1.29 s/clip): at the upper UNet
+        # levels C reaches 640, so batched [B,C,C] deltas cost real
+        # HBM+FLOPs while rank-r slivers stay tiny. ``dense_lora_max_dim``
+        # enables the HYBRID: dense only at the small-C levels.
+        if self.dense_lora_max_dim is not None:
+            lora = self.bank.gather_dense(
+                idx, cfg_batch=2 if do_cfg else 1, dtype=self.dtype,
+                max_dense_dim=self.dense_lora_max_dim,
+            )
+        else:
+            lora = self.bank.gather(idx, cfg_batch=2 if do_cfg else 1)
         fn = self._fn(("lora", bucket, num_inference_steps, audio_length_in_s, guidance_scale, scheduler),
                       num_inference_steps, audio_length_in_s, guidance_scale, with_lora=True,
                       scheduler=scheduler)

@@ -201,6 +201,20 @@ def test_underfilled_bucket_keeps_merged_route(engine):
     np.testing.assert_allclose(out, full[:3], atol=1e-6)
 
 
+def test_hybrid_dense_serving_matches_rank_r(engine):
+    """dense_lora_max_dim (hybrid ΔW densification) must be numerically
+    identical to the rank-r path on a mixed-adapter batch."""
+    hybrid = ServeEngine(
+        engine.modules, DummyTokenizer(), engine.lora_cfg, bank=engine.bank,
+        dtype=jnp.float32, dense_lora_max_dim=128,
+    )
+    prompts = ["hip hop beat", "smooth jazz"]
+    adapters = ["hiphop", "jazz"]
+    a = engine.generate(prompts, adapters=adapters, **GEN)
+    b = hybrid.generate(prompts, adapters=adapters, **GEN)
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
 def test_gather_dense_matches_rank_r(engine):
     """gather_dense's per-request ΔW=AB equals the rank-r pair it densifies
     (kept for small-C geometries; the audioldm-s serve path uses rank-r —

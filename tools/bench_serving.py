@@ -119,7 +119,7 @@ def main():
         print(f"serve batch=4 {tag}: {dt:.3f} s/batch = {dt/4:.3f} s/clip ({4/dt:.2f} clips/s)", flush=True)
 
 
-if __name__ == "__main__" and "--sweep" not in sys.argv:
+if __name__ == "__main__" and "--sweep" not in sys.argv and "--hybrid" not in sys.argv:
     main()
 
 
@@ -148,4 +148,34 @@ def batch_sweep():
 
 if __name__ == "__main__" and "--sweep" in sys.argv:
     batch_sweep()
+    sys.exit(0)
+
+
+def hybrid_sweep():
+    """Mixed-adapter serving: rank-r vs hybrid dense (C<=128 densified)."""
+    use_flash_attention(True)
+    modules = full_modules()
+    lcfg = LoRAConfig(r=4, lora_alpha=4)
+    mk = lambda s: jax.tree.map(
+        lambda x: (x + 0.01).astype(jnp.bfloat16),
+        init_lora(jax.random.PRNGKey(s), modules.unet, lcfg),
+    )
+    bank = AdapterBank.from_adapters({"a": mk(1), "b": mk(2)}, lcfg)
+    gen = dict(num_inference_steps=50, audio_length_in_s=10.24, guidance_scale=2.5)
+    adapters = ["a", "b", "a", "base"]
+    for tag, dmax in (("rank-r", None), ("hybrid<=128", 128), ("hybrid<=256", 256), ("hybrid<=384", 384)):
+        eng = ServeEngine(modules, Tok(), lcfg, bank=bank, bucket_sizes=(4,),
+                          dense_lora_max_dim=dmax)
+        prompts = ["hip hop beat"] * 4
+        eng.generate(prompts, adapters=adapters, seed=0, **gen)
+        eng.generate(prompts, adapters=adapters, seed=1, **gen)
+        t0 = time.perf_counter()
+        for i in range(3):
+            eng.generate(prompts, adapters=adapters, seed=2 + i, **gen)
+        dt = (time.perf_counter() - t0) / 3
+        print(f"serve mixed {tag}: {dt:.3f} s/batch = {dt/4:.3f} s/clip", flush=True)
+
+
+if __name__ == "__main__" and "--hybrid" in sys.argv:
+    hybrid_sweep()
     sys.exit(0)
