@@ -97,18 +97,24 @@ def parse_xspace(buf: bytes) -> list[dict]:
             name = _first_str(val, 4) or _first_str(val, 2)  # display_name|name
             meta_names[key] = name
         events: dict[str, list[int]] = defaultdict(lambda: [0, 0])
-        n_lines = 0
+        lines: list[dict] = []
         for line_buf in _submessages(plane_buf, 3):  # XPlane.lines
-            n_lines += 1
+            lev: dict[str, list[int]] = defaultdict(lambda: [0, 0])
             for ev in _submessages(line_buf, 4):  # XLine.events
                 mid = _first_varint(ev, 1)
                 dur_ps = _first_varint(ev, 3)
-                slot = events[meta_names.get(mid, f"<meta:{mid}>")]
-                slot[0] += 1
-                slot[1] += dur_ps
+                name = meta_names.get(mid, f"<meta:{mid}>")
+                for slot in (events[name], lev[name]):
+                    slot[0] += 1
+                    slot[1] += dur_ps
+            lines.append({
+                "name": _first_str(line_buf, 11) or _first_str(line_buf, 2),
+                "events": {k: tuple(v) for k, v in lev.items()},
+            })
         planes.append({
             "name": _first_str(plane_buf, 2),
-            "lines": n_lines,
+            "lines": len(lines),
+            "line_details": lines,
             "events": {k: tuple(v) for k, v in events.items()},
         })
     return planes
@@ -123,7 +129,7 @@ def find_xplane_files(path: str) -> list[str]:
 
 
 def summarize(path: str, top: int = 25, plane_filter: str = "",
-              out=sys.stdout) -> list[dict]:
+              by_line: bool = False, out=sys.stdout) -> list[dict]:
     files = find_xplane_files(path)
     if not files:
         raise FileNotFoundError(f"no *.xplane.pb under {path}")
@@ -143,6 +149,17 @@ def summarize(path: str, top: int = 25, plane_filter: str = "",
             for name, (cnt, ps) in ranked[:top]:
                 print(f"  {ps / 1e9:9.3f} ms  {100 * ps / total_ps:5.1f}%  "
                       f"x{cnt:<6d} {name[:90]}", file=out)
+            if by_line:
+                for ln in p["line_details"]:
+                    lt = sum(t for _, t in ln["events"].values())
+                    if not lt:
+                        continue
+                    print(f"\n  -- line: {ln['name'] or '<unnamed>'}  "
+                          f"({lt / 1e9:.3f} ms busy)", file=out)
+                    lr = sorted(ln["events"].items(), key=lambda kv: -kv[1][1])
+                    for name, (cnt, ps) in lr[:top]:
+                        print(f"    {ps / 1e9:9.3f} ms  x{cnt:<6d} "
+                              f"{name[:86]}", file=out)
     return all_planes
 
 
@@ -152,8 +169,11 @@ def main(argv=None):
     ap.add_argument("--top", type=int, default=25)
     ap.add_argument("--plane", default="",
                     help="only show planes whose name contains this substring")
+    ap.add_argument("--by-line", action="store_true",
+                    help="also break events down per trace line (queue/thread)")
     args = ap.parse_args(argv)
-    summarize(args.path, top=args.top, plane_filter=args.plane)
+    summarize(args.path, top=args.top, plane_filter=args.plane,
+              by_line=args.by_line)
 
 
 if __name__ == "__main__":
