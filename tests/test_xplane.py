@@ -65,6 +65,22 @@ def test_summarize_prints_ranked_table(tmp_path):
     assert "== plane:" in text and " ms " in text
 
 
+def test_by_line_breakdown(tmp_path):
+    logdir = _capture_trace(str(tmp_path))
+    out = io.StringIO()
+    planes = read_xplane.summarize(logdir, top=3, by_line=True, out=out)
+    assert "-- line:" in out.getvalue()
+    for p in planes:
+        assert len(p["line_details"]) == p["lines"]
+        # per-line sums reassemble the plane-level aggregation
+        total = {}
+        for ln in p["line_details"]:
+            for name, (cnt, ps) in ln["events"].items():
+                c0, p0 = total.get(name, (0, 0))
+                total[name] = (c0 + cnt, p0 + ps)
+        assert total == p["events"]
+
+
 def test_missing_path_raises(tmp_path):
     with pytest.raises(FileNotFoundError):
         read_xplane.summarize(os.path.join(str(tmp_path), "nope"))
