@@ -377,12 +377,15 @@ class Trainer:
             if self.logger is not None and step % max(log_every, 1) == 0:
                 # metric names mirror the reference's wandb keys
                 # (train_audioldm_lora.py:570,583-591); lr read from the SAME
-                # schedule make_optimizer uses (incl. warmup join)
+                # schedule make_optimizer uses (incl. warmup join). The
+                # update that produced `state.step == N` ran with optax count
+                # N-1 (scale_by_schedule evaluates BEFORE incrementing), so
+                # log the schedule at step-1 — the lr actually applied.
                 self.logger.log(
                     {
                         "train_loss": float(metrics["loss"]),
                         "total_train_loss": float(total_loss) / total_steps,
-                        "lr": float(lr_sched(step)),
+                        "lr": float(lr_sched(step - 1)),
                         "grad_norm": float(metrics.get("grad_norm", 0.0)),
                         "epoch": (step - 1) // steps_per_epoch if steps_per_epoch else 0,
                     },

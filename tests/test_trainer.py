@@ -317,10 +317,16 @@ def test_lr_logged_matches_optimizer_schedule(modules, tmp_path):
 
     sched = make_lr_schedule(tcfg)
     recs = [json.loads(l) for l in open(os.path.join(out, "metrics.jsonl"))]
+    # The update that produced state.step == N ran at optax count N-1
+    # (scale_by_schedule evaluates the schedule BEFORE incrementing), so the
+    # logged lr must be the schedule at step-1 — the EXACT value applied.
     for r in recs:
         if "lr" in r:
-            assert abs(r["lr"] - float(sched(r["step"]))) < 1e-12
-    # warmup: lr at step 1 must be BELOW the peak (the old duplicated
-    # schedule ignored warmup and logged the decayed peak instead)
+            assert abs(r["lr"] - float(sched(r["step"] - 1))) < 1e-12
+    # warmup exactness: the first update applies sched(0) == 0.0 (linear
+    # warmup from zero), not the decayed peak and not sched(1)
     lr1 = next(r["lr"] for r in recs if r.get("step") == 1 and "lr" in r)
-    assert lr1 < 1e-3 * 0.9
+    assert lr1 == float(sched(0)) == 0.0
+    # and the first post-warmup update (step warmup+1) applies the peak lr
+    lrp = next(r["lr"] for r in recs if r.get("step") == 4 and "lr" in r)
+    assert lrp == float(sched(3)) and abs(lrp - 1e-3) < 1e-9
