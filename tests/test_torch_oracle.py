@@ -716,3 +716,168 @@ def test_bridge_roundtrip_unet(torch_unet):
     assert set(back) == set(sd)
     for k in sd:
         np.testing.assert_allclose(back[k], sd[k], atol=0)
+
+
+# ---------------------------------------------------------------------------
+# Full-geometry tier (VERDICT round-2 next-step #4): the toy configs above
+# can't catch shape-dependent bugs — legacy int `attention_head_dim` (= head
+# COUNT) at non-power-of-two per-head dims, 4-level asymmetric 256x16
+# latents, groupnorm at the real norm_num_groups=32, odd-size coarsest
+# levels through the nearest-upsample path. This tier runs the REAL
+# audioldm-s block graph (train_audioldm_lora.py:364-371 geometry) at 1/4
+# channel width — same level count, same latent shape, same head count —
+# which is memory/time-feasible on the 1-CPU CI while exercising every
+# shape-dependent code path the full checkpoint will hit.
+# ---------------------------------------------------------------------------
+
+FULLGEOM_UNET = UNetConfig(
+    in_channels=8,
+    out_channels=8,
+    # real: (128, 256, 384, 640) — same 1:2:3:5 asymmetric ratios at 1/4 width
+    block_out_channels=(32, 64, 96, 160),
+    down_block_types=(
+        "CrossAttnDownBlock2D", "CrossAttnDownBlock2D",
+        "CrossAttnDownBlock2D", "DownBlock2D",
+    ),
+    up_block_types=(
+        "UpBlock2D", "CrossAttnUpBlock2D",
+        "CrossAttnUpBlock2D", "CrossAttnUpBlock2D",
+    ),
+    layers_per_block=2,
+    norm_num_groups=32,  # the real value; 32|96, 32|160 exercise odd groups
+    # legacy INT semantics: head COUNT 8 at every level (the real checkpoint
+    # config) -> per-head dims 4/8/12/20 incl. non-power-of-two
+    attention_head_dim=8,
+    projection_class_embeddings_input_dim=512,
+    class_embeddings_concat=True,
+)
+
+FULLGEOM_VAE = VAEConfig(
+    in_channels=1,
+    out_channels=1,
+    block_out_channels=(32, 64, 128),  # real: (128, 256, 512)
+    layers_per_block=2,
+    latent_channels=8,
+    norm_num_groups=32,
+    scaling_factor=0.9227914214134216,
+)
+
+
+@pytest.fixture(scope="module")
+def fullgeom_unet():
+    torch.manual_seed(10)
+    return TUNet(FULLGEOM_UNET).eval()
+
+
+@pytest.fixture(scope="module")
+def fullgeom_vae():
+    torch.manual_seed(11)
+    return TVAE(FULLGEOM_VAE).eval()
+
+
+def test_fullgeom_unet_parity(fullgeom_unet, rng):
+    """Forward parity at the real 256x16x8 latent geometry, 4 levels,
+    head-count-8 legacy attention_head_dim."""
+    params = convert_unet_state(to_numpy_sd(fullgeom_unet))
+    x = rng.standard_normal((1, 8, 256, 16)).astype(np.float32)  # NCHW
+    t = np.array([617], dtype=np.int64)
+    cls = rng.standard_normal((1, 512)).astype(np.float32)
+    cls = cls / np.linalg.norm(cls, axis=-1, keepdims=True)
+
+    with torch.no_grad():
+        out_t = fullgeom_unet(torch.from_numpy(x), torch.from_numpy(t), torch.from_numpy(cls)).numpy()
+    out_j = np.asarray(
+        apply_unet(
+            params, FULLGEOM_UNET, jnp.asarray(x.transpose(0, 2, 3, 1)),
+            jnp.asarray(t), class_labels=jnp.asarray(cls),
+        )
+    ).transpose(0, 3, 1, 2)
+    assert out_j.shape == out_t.shape
+    np.testing.assert_allclose(out_j, out_t, atol=5e-4)
+
+
+def test_fullgeom_unet_odd_size_upsample(fullgeom_unet, rng):
+    """Odd spatial dims through the 4-level graph: 40x8 -> 20x4 -> 10x2 ->
+    5x1 at the coarsest level, then nearest-upsample 5x1 -> 10x2 -> ... —
+    pins the odd-size upsample/skip alignment (VERDICT Missing #2)."""
+    params = convert_unet_state(to_numpy_sd(fullgeom_unet))
+    x = rng.standard_normal((1, 8, 40, 8)).astype(np.float32)
+    t = np.array([42], dtype=np.int64)
+    cls = rng.standard_normal((1, 512)).astype(np.float32)
+
+    with torch.no_grad():
+        out_t = fullgeom_unet(torch.from_numpy(x), torch.from_numpy(t), torch.from_numpy(cls)).numpy()
+    out_j = np.asarray(
+        apply_unet(
+            params, FULLGEOM_UNET, jnp.asarray(x.transpose(0, 2, 3, 1)),
+            jnp.asarray(t), class_labels=jnp.asarray(cls),
+        )
+    ).transpose(0, 3, 1, 2)
+    assert out_j.shape == out_t.shape
+    np.testing.assert_allclose(out_j, out_t, atol=5e-4)
+
+
+def test_fullgeom_vae_parity(fullgeom_vae, rng):
+    """VAE at the real 1024x64 mel <-> 256x16x8 latent geometry."""
+    params = convert_vae_state(to_numpy_sd(fullgeom_vae))
+    mel = rng.standard_normal((1, 1, 1024, 64)).astype(np.float32)
+    with torch.no_grad():
+        mean_t, logvar_t = fullgeom_vae.encode_moments(torch.from_numpy(mel))
+    dist = vae_lib.encode(params, FULLGEOM_VAE, jnp.asarray(mel.transpose(0, 2, 3, 1)))
+    assert dist.mean.shape == (1, 256, 16, 8)
+    np.testing.assert_allclose(np.asarray(dist.mean).transpose(0, 3, 1, 2), mean_t.numpy(), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(dist.logvar).transpose(0, 3, 1, 2), logvar_t.numpy(), atol=5e-4)
+
+    z = rng.standard_normal((1, 8, 256, 16)).astype(np.float32)
+    with torch.no_grad():
+        out_t = fullgeom_vae.decode(torch.from_numpy(z)).numpy()
+    out_j = np.asarray(vae_lib.decode(params, FULLGEOM_VAE, jnp.asarray(z.transpose(0, 2, 3, 1)))).transpose(0, 3, 1, 2)
+    assert out_j.shape == (1, 1, 1024, 64)
+    np.testing.assert_allclose(out_j, out_t, atol=5e-4)
+
+
+def test_fullgeom_pipeline_trajectory(fullgeom_unet, fullgeom_vae, rng):
+    """3-step CFG DDIM trajectory + VAE decode at the real latent geometry —
+    the accumulated-error version of the per-module tests above."""
+    unet_p = convert_unet_state(to_numpy_sd(fullgeom_unet))
+    vae_p = convert_vae_state(to_numpy_sd(fullgeom_vae))
+    ddim_cfg = DDIMConfig()
+    schedule = make_schedule(ddim_cfg)
+    acp = torch.from_numpy(np.asarray(schedule.alphas_cumprod)).double()
+
+    steps, g = 3, 2.5
+    lat0 = rng.standard_normal((1, 8, 256, 16)).astype(np.float32)
+    cond = rng.standard_normal((1, 512)).astype(np.float32)
+    cond = cond / np.linalg.norm(cond, axis=-1, keepdims=True)
+    uncond = rng.standard_normal((1, 512)).astype(np.float32)
+    uncond = uncond / np.linalg.norm(uncond, axis=-1, keepdims=True)
+    sf = FULLGEOM_VAE.scaling_factor
+
+    with torch.no_grad():
+        embeds = torch.from_numpy(np.concatenate([uncond, cond], axis=0))
+        lat = torch.from_numpy(lat0)
+        ts = inference_timesteps(ddim_cfg, steps)
+        prev = ts - (1000 // steps)
+        for t_i, p_i in zip(ts, prev):
+            model_in = torch.cat([lat, lat], dim=0)
+            tt = torch.full((2,), int(t_i), dtype=torch.long)
+            eps = fullgeom_unet(model_in, tt, embeds)
+            eps_u, eps_c = eps[:1], eps[1:]
+            eps = eps_u + g * (eps_c - eps_u)
+            lat = torch_ddim_step(acp, acp[0], eps.double(), int(t_i), int(p_i), lat.double()).float()
+        mel_t = fullgeom_vae.decode(lat / sf).numpy()
+
+    from audioldm_tpu.pipeline.generate import AudioLDMModules, denoise
+
+    modules = AudioLDMModules(
+        unet=unet_p, vae=vae_p, text_encoder=None, vocoder=None,
+        unet_cfg=FULLGEOM_UNET, vae_cfg=FULLGEOM_VAE, text_cfg=None,
+        vocoder_cfg=None, ddim_cfg=ddim_cfg,
+    )
+    lat_j = denoise(
+        modules, jnp.asarray(lat0.transpose(0, 2, 3, 1)), jnp.asarray(cond),
+        jnp.asarray(uncond), steps, g,
+    )
+    np.testing.assert_allclose(np.asarray(lat_j).transpose(0, 3, 1, 2), lat.numpy(), atol=2e-3)
+    mel_j = np.asarray(vae_lib.decode(vae_p, FULLGEOM_VAE, lat_j / sf)).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(mel_j, mel_t, atol=2e-3)
