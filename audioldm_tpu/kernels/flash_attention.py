@@ -332,6 +332,13 @@ def _flash_vjp_bwd(res, g):
 
 _flash.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
 
+# Nested jit with a stable function identity: the 10+ identical-shape call
+# sites inside one UNet trace hit jax's lowering cache and become calls to
+# ONE sub-computation in the HLO, instead of 10 freshly-lowered pallas_call
+# instances — XLA then compiles the Mosaic kernel once (cold-compile lever;
+# VERDICT round-2 #2 "dedupe pallas kernel instantiations").
+_flash_jit = jax.jit(_flash)
+
 
 def flash_attention(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, interpret: bool = False,
@@ -341,4 +348,4 @@ def flash_attention(
     Differentiable: streaming Pallas kernels forward and backward."""
     if interpret or block_q is not None or block_k is not None:
         return _flash_fwd_impl(q, k, v, interpret=interpret, block_q=block_q, block_k=block_k)
-    return _flash(q, k, v)
+    return _flash_jit(q, k, v)

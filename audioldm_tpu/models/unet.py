@@ -63,6 +63,23 @@ def _sub(tree: Optional[dict], *keys) -> Optional[dict]:
     return tree
 
 
+def _upsample_nearest(x: jnp.ndarray, th: int, tw: int) -> jnp.ndarray:
+    """Nearest-neighbor upsample to an arbitrary target size with torch
+    ``F.interpolate(mode="nearest")`` index semantics (src = floor(dst *
+    in/out)). diffusers passes ``upsample_size`` down to ``Upsample2D`` when
+    the input resolution is not divisible by 2**num_upsamplers
+    (UNet2DConditionModel ``forward_upsample_size``) — e.g. a 10.0 s clip is
+    1000 mel frames -> 250-frame latents -> 63 at level 2, and the upsample
+    must come back to exactly 63, not 64. For the exact-2x case both
+    formulas agree and XLA's resize path is used."""
+    b, h, w, c = x.shape
+    if th == 2 * h and tw == 2 * w:
+        return jax.image.resize(x, (b, th, tw, c), method="nearest")
+    hi = (jnp.arange(th) * h) // th
+    wi = (jnp.arange(tw) * w) // tw
+    return x[:, hi][:, :, wi]
+
+
 # ---------------------------------------------------------------------------
 # Blocks
 # ---------------------------------------------------------------------------
@@ -349,8 +366,11 @@ def apply_unet(
                     lora=_sub(blora, "attentions", j), lora_scale=lora_scale,
                 )
         if "upsamplers" in blk:
+            # diffusers semantics: upsample to the NEXT skip's spatial size
+            # (== exact 2x whenever the input resolution divides evenly)
             b, h_, w_, c = sample.shape
-            sample = jax.image.resize(sample, (b, h_ * 2, w_ * 2, c), method="nearest")
+            th, tw = (skips[-1].shape[1], skips[-1].shape[2]) if skips else (h_ * 2, w_ * 2)
+            sample = _upsample_nearest(sample, th, tw)
             sample = conv2d(blk["upsamplers"]["0"], sample, padding=1)
 
     sample = act(group_norm(params["conv_norm_out"], sample, groups, eps))

@@ -223,6 +223,57 @@ def denoise(
     return latents
 
 
+def generate_mel(
+    modules: AudioLDMModules,
+    input_ids: jnp.ndarray,
+    attention_mask: jnp.ndarray,
+    uncond_ids: jnp.ndarray,
+    uncond_mask: jnp.ndarray,
+    rng: jax.Array,
+    num_inference_steps: int = 50,
+    audio_length_in_s: float = 10.0,
+    guidance_scale: float = 2.5,
+    lora: Optional[dict] = None,
+    lora_scale: float = 1.0,
+    dtype=jnp.float32,
+    num_waveforms_per_prompt: int = 1,
+    eta: float = 0.0,
+    scheduler: str = "ddim",
+) -> jnp.ndarray:
+    """Text -> mel: encode -> CFG denoise scan -> VAE decode. The vocoder
+    stage lives in :func:`generate`; splitting here lets callers compile
+    text+denoise+decode and the vocoder as two XLA programs (see
+    ``make_generate_fn(split_compile=...)``) — XLA's optimization time is
+    superlinear in program size, and the monolithic pipeline's cold compile
+    measured far above the sum of its stages (PERF.md compile table)."""
+    b = input_ids.shape[0]
+    cond = encode_prompt(modules, input_ids, attention_mask)
+    uncond = encode_prompt(modules, uncond_ids, uncond_mask)
+    if num_waveforms_per_prompt > 1:
+        cond = jnp.repeat(cond, num_waveforms_per_prompt, axis=0)
+        b = b * num_waveforms_per_prompt
+    if uncond.shape[0] != b:
+        uncond = jnp.broadcast_to(uncond[:1], cond.shape)
+
+    rng, noise_rng = jax.random.split(rng)
+    shape = latent_shape(modules, b, audio_length_in_s)
+    latents = jax.random.normal(noise_rng, shape, jnp.float32)
+
+    latents = denoise(
+        modules, latents, cond, uncond, num_inference_steps, guidance_scale,
+        lora=lora, lora_scale=lora_scale, dtype=dtype, eta=eta, rng=rng,
+        scheduler=scheduler,
+    )
+
+    return vae_lib.decode(modules.vae, modules.vae_cfg, (latents / modules.vae_cfg.scaling_factor).astype(dtype))
+
+
+def vocode(modules: AudioLDMModules, mel: jnp.ndarray, original_samples: int) -> jnp.ndarray:
+    """Mel ``[B, T, F, 1]`` -> waveform ``[B, original_samples]`` float32."""
+    wav = apply_vocoder(modules.vocoder, modules.vocoder_cfg, mel[..., 0].astype(jnp.float32))
+    return wav[:, :original_samples]
+
+
 def generate(
     modules: AudioLDMModules,
     input_ids: jnp.ndarray,
@@ -247,32 +298,16 @@ def generate(
     (generate_audio.py:49-50), lib-default guidance 2.5, 1 waveform/prompt
     (SURVEY.md §2b).
     """
-    b = input_ids.shape[0]
     voc = modules.vocoder_cfg
-    hop = int(np.prod(voc.upsample_rates))
     original_samples = int(audio_length_in_s * voc.sampling_rate)
-
-    cond = encode_prompt(modules, input_ids, attention_mask)
-    uncond = encode_prompt(modules, uncond_ids, uncond_mask)
-    if num_waveforms_per_prompt > 1:
-        cond = jnp.repeat(cond, num_waveforms_per_prompt, axis=0)
-        b = b * num_waveforms_per_prompt
-    if uncond.shape[0] != b:
-        uncond = jnp.broadcast_to(uncond[:1], cond.shape)
-
-    rng, noise_rng = jax.random.split(rng)
-    shape = latent_shape(modules, b, audio_length_in_s)
-    latents = jax.random.normal(noise_rng, shape, jnp.float32)
-
-    latents = denoise(
-        modules, latents, cond, uncond, num_inference_steps, guidance_scale,
-        lora=lora, lora_scale=lora_scale, dtype=dtype, eta=eta, rng=rng,
+    mel = generate_mel(
+        modules, input_ids, attention_mask, uncond_ids, uncond_mask, rng,
+        num_inference_steps, audio_length_in_s, guidance_scale,
+        lora=lora, lora_scale=lora_scale, dtype=dtype,
+        num_waveforms_per_prompt=num_waveforms_per_prompt, eta=eta,
         scheduler=scheduler,
     )
-
-    mel = vae_lib.decode(modules.vae, modules.vae_cfg, (latents / modules.vae_cfg.scaling_factor).astype(dtype))
-    wav = apply_vocoder(modules.vocoder, modules.vocoder_cfg, mel[..., 0].astype(jnp.float32))
-    return wav[:, :original_samples]
+    return vocode(modules, mel, original_samples)
 
 
 def make_generate_fn(
@@ -283,34 +318,55 @@ def make_generate_fn(
     dtype=jnp.bfloat16,
     with_lora: bool = False,
     scheduler: str = "ddim",
+    split_compile: bool = True,
 ):
     """jit-compiled generation over the module bundle. The bundle is a jit
     ARGUMENT (configs static via the pytree registration), so params travel
-    as device buffers — never serialized into the compiled program."""
+    as device buffers — never serialized into the compiled program.
+
+    ``split_compile=True`` compiles text+denoise+VAE-decode and the vocoder
+    as TWO XLA programs instead of one. Numerically identical (the boundary
+    tensor is the [B,T,64,1] mel; XLA fuses nothing useful across it), but
+    XLA's optimization time is superlinear in program size: the monolithic
+    pipeline's cold compile measured several times the sum of its stages
+    (740 s driver-observed, PERF.md) while the split form compiles in
+    roughly stage-sum time. Both dispatches are async, so steady-state cost
+    is one extra enqueue (~no-op next to a 0.75 s clip)."""
+    voc_samples = int(audio_length_in_s * modules.vocoder_cfg.sampling_rate)
+    if split_compile:
+
+        @jax.jit
+        def fn_vocode(mods, mel):
+            return vocode(mods, mel, voc_samples)
+
     if with_lora:
 
         @functools.partial(jax.jit, static_argnames=("lora_scale",))
         def fn_lora(mods, input_ids, attention_mask, uncond_ids, uncond_mask, rng, lora, lora_scale=1.0):
-            return generate(
+            stage = generate_mel if split_compile else generate
+            return stage(
                 mods, input_ids, attention_mask, uncond_ids, uncond_mask, rng,
                 num_inference_steps, audio_length_in_s, guidance_scale,
                 lora=lora, lora_scale=lora_scale, dtype=dtype, scheduler=scheduler,
             )
 
         def fn(input_ids, attention_mask, uncond_ids, uncond_mask, rng, lora, lora_scale=1.0):
-            return fn_lora(modules, input_ids, attention_mask, uncond_ids, uncond_mask, rng, lora, lora_scale=lora_scale)
+            out = fn_lora(modules, input_ids, attention_mask, uncond_ids, uncond_mask, rng, lora, lora_scale=lora_scale)
+            return fn_vocode(modules, out) if split_compile else out
 
         return fn
 
     @jax.jit
     def fn_plain(mods, input_ids, attention_mask, uncond_ids, uncond_mask, rng):
-        return generate(
+        stage = generate_mel if split_compile else generate
+        return stage(
             mods, input_ids, attention_mask, uncond_ids, uncond_mask, rng,
             num_inference_steps, audio_length_in_s, guidance_scale, dtype=dtype,
             scheduler=scheduler,
         )
 
     def fn(input_ids, attention_mask, uncond_ids, uncond_mask, rng):
-        return fn_plain(modules, input_ids, attention_mask, uncond_ids, uncond_mask, rng)
+        out = fn_plain(modules, input_ids, attention_mask, uncond_ids, uncond_mask, rng)
+        return fn_vocode(modules, out) if split_compile else out
 
     return fn

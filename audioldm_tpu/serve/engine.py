@@ -112,6 +112,7 @@ class ServeEngine:
         negative_prompt: str = "",
         bucket_sizes: Sequence[int] = (1, 2, 4, 8, 16),
         dense_lora_max_dim: Optional[int] = None,
+        split_mixed_adapters: bool = True,
     ):
         self.modules = modules
         self.tokenizer = tokenizer
@@ -123,6 +124,9 @@ class ServeEngine:
         # hybrid mixed-adapter serving: densify per-request ΔW only for
         # projections up to this dim (see AdapterBank.gather_dense)
         self.dense_lora_max_dim = dense_lora_max_dim
+        # mixed batches -> per-adapter uniform sub-batches on the merged
+        # cache (the measured winner); False keeps the rank-r gathered path
+        self.split_mixed_adapters = split_mixed_adapters
         self.bucket_sizes = tuple(sorted(bucket_sizes))
         self._merged_cache: dict[str, AudioLDMModules] = {}
         self._fns: dict = {}
@@ -203,7 +207,51 @@ class ServeEngine:
         The batch is padded to the next configured bucket size (compile once
         per bucket, not per queue length); uniform-adapter batches route
         through the merged-weight cache (zero adapter overhead — the
-        reference's generate_audio.py intent, done per-batch)."""
+        reference's generate_audio.py intent, done per-batch); MIXED-adapter
+        batches are split into per-adapter uniform sub-batches that each ride
+        the merged cache (see ``_generate_async``)."""
+        parts = self._generate_async(
+            prompts, adapters, num_inference_steps, audio_length_in_s,
+            guidance_scale, scheduler,
+            jax.random.PRNGKey(seed) if rng_key is None else rng_key,
+        )
+        return self._assemble(parts, len(prompts))
+
+    @staticmethod
+    def _assemble(parts, b: int) -> np.ndarray:
+        """Fetch dispatched programs and scatter their rows back to request
+        order. ``parts``: list of (device_array, row_indices)."""
+        out = None
+        for arr, rows in parts:
+            host = np.asarray(arr)
+            if out is None:
+                out = np.empty((b,) + host.shape[1:], host.dtype)
+            out[np.asarray(rows)] = host[: len(rows)]
+        return out
+
+    def _generate_async(
+        self,
+        prompts: Sequence[str],
+        adapters: Optional[Sequence[str]],
+        num_inference_steps: int,
+        audio_length_in_s: float,
+        guidance_scale: float,
+        scheduler: str,
+        rng: jax.Array,
+    ) -> list:
+        """Dispatch the batch WITHOUT fetching: returns a list of
+        (device_array, row_indices) pairs whose union covers the batch.
+        Callers (``generate``/``flush``) fetch via ``_assemble`` — flush
+        dispatches every chunk before the first fetch, so clip i's
+        device->host transfer overlaps clip i+1's denoise on the device
+        queue (VERDICT round-2 #6).
+
+        Routing: mixed-adapter batches are split into per-adapter uniform
+        sub-batches, each served from the merged-weight cache. One chip
+        saturates at CFG batch 2 (serving sweep b=1..8 is flat, PERF.md),
+        so K merged sub-batches beat one rank-r gathered batch (~0.8 vs
+        1.16 s/clip). Under a dp mesh sub-batches may not divide the mesh,
+        so the split is disabled and mixed batches keep the rank-r path."""
         b = len(prompts)
         if adapters is not None and self.bank is None and any(
             a not in (None, "base") for a in adapters
@@ -217,36 +265,50 @@ class ServeEngine:
         if b > max_bucket:
             # oversized batches chunk to the largest bucket: keeps the
             # compile-once-per-bucket property (and dp divisibility)
-            outs = []
+            parts = []
             for i in range(0, b, max_bucket):
-                outs.append(
-                    self.generate(
-                        list(prompts[i : i + max_bucket]),
-                        adapters=None if adapters is None else list(adapters[i : i + max_bucket]),
-                        num_inference_steps=num_inference_steps,
-                        audio_length_in_s=audio_length_in_s,
-                        guidance_scale=guidance_scale,
-                        scheduler=scheduler,
-                        rng_key=jax.random.fold_in(
-                            jax.random.PRNGKey(seed) if rng_key is None else rng_key, i
-                        ),
-                    )
+                sub = self._generate_async(
+                    list(prompts[i : i + max_bucket]),
+                    None if adapters is None else list(adapters[i : i + max_bucket]),
+                    num_inference_steps, audio_length_in_s, guidance_scale,
+                    scheduler, jax.random.fold_in(rng, i),
                 )
-            return np.concatenate(outs, axis=0)
+                parts.extend((arr, [i + r for r in rows]) for arr, rows in sub)
+            return parts
+
+        names = None if adapters is None else [a or "base" for a in adapters]
+        mixed = names is not None and len(set(names)) > 1 and self.bank is not None
+        if mixed and self.mesh is None and self.split_mixed_adapters:
+            # split into per-adapter uniform sub-batches (submission order
+            # preserved per group); each recursive call is uniform and rides
+            # the merged cache. rng folds on the group ordinal — equivalent
+            # to the caller making K uniform calls with folded keys.
+            groups: dict[str, list[int]] = {}
+            for i, n in enumerate(names):
+                groups.setdefault(n, []).append(i)
+            parts = []
+            for g, (name, rows) in enumerate(sorted(groups.items())):
+                sub = self._generate_async(
+                    [prompts[i] for i in rows], [name] * len(rows),
+                    num_inference_steps, audio_length_in_s, guidance_scale,
+                    scheduler, jax.random.fold_in(rng, g),
+                )
+                parts.extend((arr, [rows[r] for r in sub_rows]) for arr, sub_rows in sub)
+            return parts
+
         bucket = self._bucket(b)
         if bucket > b:
             prompts = list(prompts) + [self.negative_prompt] * (bucket - b)
-            if adapters is not None:
+            if names is not None:
                 # pad rows are trimmed from the output, so their adapter is
                 # arbitrary — reuse the first request's adapter to keep
-                # uniform chunks on the merged-cache fast path (0.78 vs
-                # 1.16 s/clip) even when the chunk underfills its bucket
-                adapters = list(adapters) + [adapters[0] or "base"] * (bucket - b)
+                # uniform chunks on the merged-cache fast path even when the
+                # chunk underfills its bucket
+                names = list(names) + [names[0]] * (bucket - b)
         ids, mask, u_ids, u_mask = self._tokenize(prompts)
-        rng = jax.random.PRNGKey(seed) if rng_key is None else rng_key
         do_cfg = guidance_scale != 1.0
+        rows = list(range(b))
 
-        names = None if adapters is None else [a or "base" for a in adapters]
         uniform = names is not None and len(set(names)) == 1 and names[0] != "base" and self.bank is not None
         if names is None or self.bank is None or all(n == "base" for n in (names or [])) or uniform:
             # base traffic AND uniform-adapter traffic share ONE compiled fn:
@@ -255,8 +317,9 @@ class ServeEngine:
             fn = self._fn(("plain", bucket, num_inference_steps, audio_length_in_s, guidance_scale, scheduler),
                           num_inference_steps, audio_length_in_s, guidance_scale, with_lora=False,
                           scheduler=scheduler)
-            return np.asarray(fn(mods, ids, mask, u_ids, u_mask, rng))[:b]
+            return [(fn(mods, ids, mask, u_ids, u_mask, rng), rows)]
 
+        # rank-r gathered path (mixed batch under a dp mesh)
         idx = self.bank.indices(names)
         # NB: rank-r unmerged application beats FULLY-dense per-request
         # ΔW=AB here (measured 1.16 vs 1.29 s/clip): at the upper UNet
@@ -273,7 +336,7 @@ class ServeEngine:
         fn = self._fn(("lora", bucket, num_inference_steps, audio_length_in_s, guidance_scale, scheduler),
                       num_inference_steps, audio_length_in_s, guidance_scale, with_lora=True,
                       scheduler=scheduler)
-        return np.asarray(fn(self.modules, ids, mask, u_ids, u_mask, rng, lora))[:b]
+        return [(fn(self.modules, ids, mask, u_ids, u_mask, rng, lora), rows)]
 
     def submit(self, prompt: str, adapter: Optional[str] = None) -> int:
         """Queue a request for microbatched execution; returns a ticket.
@@ -301,7 +364,13 @@ class ServeEngine:
         chunking, so chunks tend to be adapter-uniform and ride the
         merged-weight cache (measured 0.78 vs 1.16 s/clip for the gathered
         unmerged path, PERF.md); outputs are reordered back to submission
-        order."""
+        order.
+
+        Throughput mode: every chunk is DISPATCHED before the first result
+        is fetched (jax async dispatch queues the programs on the device),
+        so chunk i's device->host waveform transfer and host-side numpy
+        work overlap chunk i+1's denoise instead of serializing after it
+        (VERDICT round-2 #6). Output-identical to the sequential path."""
         queue = getattr(self, "_queue", [])
         self._queue = []
         if not queue:
@@ -309,26 +378,29 @@ class ServeEngine:
         order = list(range(len(queue)))
         if group_by_adapter:
             order.sort(key=lambda i: queue[i][1] or "base")
-        outs = []
         chunk = max_batch or len(queue)
         base_rng = jax.random.PRNGKey(seed)
+        dispatched: list[tuple[list, list[int], int]] = []  # (parts, rows, b)
         for i in range(0, len(order), chunk):
-            part = [queue[j] for j in order[i : i + chunk]]
+            rows = order[i : i + chunk]
+            part = [queue[j] for j in rows]
             prompts = [p for p, _ in part]
             adapters = [a for _, a in part]
             # per-chunk rng from a monotone engine counter: two same-size
             # chunks in different flushes never share latents (VERDICT weak #6)
             self._rng_counter += 1
-            outs.append(
-                self.generate(
-                    prompts, adapters=adapters, num_inference_steps=num_inference_steps,
-                    audio_length_in_s=audio_length_in_s, guidance_scale=guidance_scale,
-                    rng_key=jax.random.fold_in(base_rng, self._rng_counter),
-                )
+            parts = self._generate_async(
+                prompts, adapters, num_inference_steps, audio_length_in_s,
+                guidance_scale, "ddim", jax.random.fold_in(base_rng, self._rng_counter),
             )
-        flat = np.concatenate(outs, axis=0)
-        inverse = np.argsort(np.asarray(order))
-        return flat[inverse]
+            dispatched.append((parts, rows, len(prompts)))
+        out = None
+        for parts, rows, b in dispatched:
+            host = self._assemble(parts, b)
+            if out is None:
+                out = np.empty((len(queue),) + host.shape[1:], host.dtype)
+            out[np.asarray(rows)] = host
+        return out
 
     def merged_modules(self, adapter_name: str) -> AudioLDMModules:
         """Merged-weight cache: zero-overhead single-adapter serving

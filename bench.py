@@ -9,7 +9,10 @@ HiFi-GAN vocoder) at the reference's flagship geometry: 10.24 s clip
 (zero-egress environment: the real checkpoint cannot be downloaded; FLOP/
 byte profile is identical).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} plus
+roofline fields (tflops_useful / mfu / padded_peak_frac from the analytic
+counter in audioldm_tpu.utils.flops, VERDICT round-3 #1) and the tracked
+compile metrics (init_s / compile_s, VERDICT round-3 #2).
 ``vs_baseline`` = target_seconds / measured_seconds vs the 1.0 s/clip north
 star (>1.0 means faster than target).
 """
@@ -33,7 +36,7 @@ except Exception:
 
 def main():
     from audioldm_tpu.kernels import use_flash_attention
-    from audioldm_tpu.pipeline.generate import make_generate_fn, random_modules
+    from audioldm_tpu.pipeline.generate import make_generate_fn
 
     # Pallas flash attention: 8x faster than XLA attention at the UNet's
     # level-0 shape ([2,8,4096,16]) on v5e; ~16% off the whole UNet step.
@@ -64,7 +67,8 @@ def main():
     t0 = time.perf_counter()
     unet_p, vae_p, text_p, voc_p = jax.jit(_init)(jax.random.PRNGKey(0))
     jax.block_until_ready(unet_p)
-    print(f"# init: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    init_s = time.perf_counter() - t0
+    print(f"# init: {init_s:.1f}s", file=sys.stderr)
     from audioldm_tpu.pipeline.generate import AudioLDMModules
     from audioldm_tpu.config import DDIMConfig
 
@@ -74,9 +78,13 @@ def main():
         vocoder_cfg=VocoderConfig(), ddim_cfg=DDIMConfig(),
     )
 
+    # split_compile: text+denoise+VAE and the vocoder compile as two XLA
+    # programs — compile time is roughly the sum of stages instead of the
+    # superlinear monolithic blowup (740 s driver-observed in round 2);
+    # steady state is identical (one extra async enqueue).
     fn = make_generate_fn(
         modules, num_inference_steps=steps, audio_length_in_s=seconds,
-        guidance_scale=guidance, dtype=jnp.bfloat16,
+        guidance_scale=guidance, dtype=jnp.bfloat16, split_compile=True,
     )
 
     ids = jnp.full((1, 512), 5, jnp.int32).at[:, 0].set(0)
@@ -93,7 +101,8 @@ def main():
     # compile + warmup
     t0 = time.perf_counter()
     run(0)
-    print(f"# compile+warmup: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    compile_s = time.perf_counter() - t0
+    print(f"# compile+warmup: {compile_s:.1f}s", file=sys.stderr)
     run(1)
 
     iters = 5
@@ -101,6 +110,12 @@ def main():
     for i in range(iters):
         run(2 + i)
     dt = (time.perf_counter() - t0) / iters
+
+    # roofline accounting (analytic matmul-class FLOPs; utils/flops.py is
+    # cross-checked against XLA cost_analysis in tests/test_flops.py)
+    from audioldm_tpu.utils import flops as fl
+
+    total = fl.pipeline_flops(steps=steps)["total"]
 
     target = 1.0  # BASELINE.json north star: <1 s / 10 s clip @ 50 steps
     print(
@@ -110,6 +125,11 @@ def main():
                 "value": round(dt, 4),
                 "unit": "s",
                 "vs_baseline": round(target / dt, 4),
+                "tflops_useful": round(total.useful / dt / 1e12, 2),
+                "mfu": round(fl.mfu(total.useful, dt), 4),
+                "padded_peak_frac": round(fl.mfu(total.padded, dt), 4),
+                "init_s": round(init_s, 1),
+                "compile_s": round(compile_s, 1),
             }
         )
     )

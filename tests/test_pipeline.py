@@ -146,3 +146,51 @@ def test_eta_stochastic_ddim(modules):
     # eta runs are reproducible per seed
     sto2 = _generate(modules, ids, mask, u_ids, u_mask, jax.random.PRNGKey(5), eta=1.0, **kw)
     np.testing.assert_array_equal(np.asarray(sto), np.asarray(sto2))
+
+
+def test_default_10s_clip_shapes_compile():
+    """audio_length_in_s=10.0 (the API default and the reference's
+    generate_audio.py:50 value) gives 250-frame latents at the REAL config —
+    not divisible by 2**3, which crashed the UNet before the
+    forward_upsample_size fix. eval_shape traces the full-size graph without
+    computing, so this pins the fix at zero FLOPs."""
+    from audioldm_tpu.config import UNetConfig, VAEConfig, VocoderConfig
+    from audioldm_tpu.models.unet import apply_unet, init_unet
+    from audioldm_tpu.pipeline.generate import AudioLDMModules, latent_shape
+
+    mods = AudioLDMModules(
+        unet=None, vae=None, text_encoder=None, vocoder=None,
+        unet_cfg=UNetConfig(), vae_cfg=VAEConfig(), text_cfg=None,
+        vocoder_cfg=VocoderConfig(), ddim_cfg=None,
+    )
+    shape = latent_shape(mods, 1, 10.0)
+    assert shape == (1, 250, 16, 8)
+
+    cfg = UNetConfig()
+    params = jax.eval_shape(lambda k: init_unet(k, cfg), jax.random.PRNGKey(0))
+    out = jax.eval_shape(
+        lambda p, x, t, c: apply_unet(p, cfg, x, t, class_labels=c),
+        params,
+        jax.ShapeDtypeStruct((2, 250, 16, 8), jnp.float32),
+        jax.ShapeDtypeStruct((2,), jnp.int32),
+        jax.ShapeDtypeStruct((2, 512), jnp.float32),
+    )
+    assert out.shape == (2, 250, 16, 8)
+
+
+def test_split_compile_matches_monolithic(modules):
+    """make_generate_fn(split_compile=True) runs text+denoise+decode and the
+    vocoder as two XLA programs — must be bit-equivalent to the monolithic
+    one-jit path (the boundary is a materialized mel tensor)."""
+    ids = jnp.full((1, 6), 5, jnp.int32).at[:, 0].set(0)
+    mask = jnp.ones((1, 6), jnp.int32)
+    u_ids = jnp.full((1, 6), 1, jnp.int32).at[:, 0].set(0)
+    u_mask = jnp.zeros((1, 6), jnp.int32).at[:, 0].set(1)
+    kw = dict(num_inference_steps=2, audio_length_in_s=0.01,
+              guidance_scale=2.0, dtype=jnp.float32)
+    f_split = make_generate_fn(modules, split_compile=True, **kw)
+    f_mono = make_generate_fn(modules, split_compile=False, **kw)
+    a = np.asarray(f_split(ids, mask, u_ids, u_mask, jax.random.PRNGKey(3)))
+    b = np.asarray(f_mono(ids, mask, u_ids, u_mask, jax.random.PRNGKey(3)))
+    assert a.shape == b.shape
+    np.testing.assert_allclose(a, b, atol=1e-6)

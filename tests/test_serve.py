@@ -51,20 +51,29 @@ def test_bank_slots(engine):
 
 
 def test_per_request_adapter_isolation(engine):
+    """A mixed batch is served as per-adapter uniform sub-batches: row i's
+    output must equal a uniform call for its group with the group-folded key
+    (groups in sorted-name order) — the engine's documented contract."""
     prompts = ["hip hop beat", "hip hop beat"]
     mixed = engine.generate(prompts, adapters=["hiphop", "base"], **GEN)
-    all_base = engine.generate(prompts, adapters=["base", "base"], **GEN)
-    all_hip = engine.generate(prompts, adapters=["hiphop", "hiphop"], **GEN)
     assert mixed.shape == (2, 160)
-    # row 1 used base in both runs -> identical
-    np.testing.assert_allclose(mixed[1], all_base[1], atol=1e-6)
-    # row 0 used hiphop in both runs -> identical
-    np.testing.assert_allclose(mixed[0], all_hip[0], atol=1e-6)
+    key = jax.random.PRNGKey(GEN["seed"])
+    gen = {k: v for k, v in GEN.items() if k != "seed"}
+    # sorted group order: base (g=0), hiphop (g=1)
+    base_row = engine.generate([prompts[1]], adapters=["base"],
+                               rng_key=jax.random.fold_in(key, 0), **gen)
+    hip_row = engine.generate([prompts[0]], adapters=["hiphop"],
+                              rng_key=jax.random.fold_in(key, 1), **gen)
+    np.testing.assert_allclose(mixed[1], base_row[0], atol=1e-6)
+    np.testing.assert_allclose(mixed[0], hip_row[0], atol=1e-6)
     # adapters actually change the output
-    assert np.max(np.abs(mixed[0] - all_base[0])) > 1e-6
+    base_same_key = engine.generate([prompts[0]], adapters=["base"],
+                                    rng_key=jax.random.fold_in(key, 1), **gen)
+    assert np.max(np.abs(hip_row[0] - base_same_key[0])) > 1e-6
     # different adapters differ
-    jazz = engine.generate(prompts, adapters=["jazz", "jazz"], **GEN)
-    assert np.max(np.abs(jazz[0] - all_hip[0])) > 1e-6
+    jazz = engine.generate([prompts[0]], adapters=["jazz"],
+                           rng_key=jax.random.fold_in(key, 1), **gen)
+    assert np.max(np.abs(jazz[0] - hip_row[0])) > 1e-6
 
 
 def test_base_slot_is_zero_adapter(engine):
@@ -103,10 +112,16 @@ def test_serve_dp_mesh_matches_single(engine):
         engine.modules, DummyTokenizer(), engine.lora_cfg, bank=engine.bank,
         mesh=mesh, dtype=jnp.float32,
     )
+    # a dp mesh disables the mixed-batch split (sub-batches may not divide
+    # the mesh) -> compare against the rank-r path, not the split path
+    nosplit = ServeEngine(
+        engine.modules, DummyTokenizer(), engine.lora_cfg, bank=engine.bank,
+        dtype=jnp.float32, split_mixed_adapters=False,
+    )
     prompts = ["hip hop beat"] * 8
     adapters = ["hiphop", "base", "jazz", "base", "hiphop", "jazz", "base", "hiphop"]
     sharded = dp_engine.generate(prompts, adapters=adapters, **GEN)
-    plain = engine.generate(prompts, adapters=adapters, **GEN)
+    plain = nosplit.generate(prompts, adapters=adapters, **GEN)
     assert sharded.shape == (8, 160)
     np.testing.assert_allclose(sharded, plain, atol=1e-5)
 
@@ -128,20 +143,27 @@ def test_flush_bucketing_one_compile(engine):
     """Two flushes of DIFFERENT queue lengths land in the same bucket and
     reuse one compiled fn (VERDICT weak #6: per-chunk-size retraces)."""
     t0 = engine.traces
-    for _ in range(3):
+    for _ in range(4):
         engine.submit("hip hop beat", "hiphop")
-    engine.submit("jazz piano", "jazz")
     out1 = engine.flush(**GEN)
     t1 = engine.traces
-    # second flush MIXED (uniform chunks would now take the merged route)
+    # second flush, different queue length, same bucket
+    for _ in range(3):
+        engine.submit("boom bap", "hiphop")
+    out2 = engine.flush(**GEN)
+    t2 = engine.traces
+    assert out1.shape == (4, 160) and out2.shape == (3, 160)
+    assert t2 == t1  # second flush (size 3 -> bucket 4) reused the compile
+    # a MIXED no-group flush splits into per-adapter sub-batches; buckets
+    # already compiled above/elsewhere must not retrace
     engine.submit("boom bap", "jazz")
     engine.submit("boom bap", "jazz")
     engine.submit("hip hop", "hiphop")
-    out2 = engine.flush(group_by_adapter=False, **GEN)
-    t2 = engine.traces
-    assert out1.shape == (4, 160) and out2.shape == (3, 160)
-    assert t1 > t0  # first flush compiled
-    assert t2 == t1  # second flush (size 3 -> bucket 4) reused the compile
+    engine.submit("hip hop", "hiphop")
+    t3 = engine.traces
+    out3 = engine.flush(group_by_adapter=False, **GEN)
+    assert out3.shape == (4, 160)
+    assert engine.traces == t3  # bucket-2 fns already compiled -> no retrace
 
 
 def test_flush_rng_never_collides(engine):
@@ -206,11 +228,15 @@ def test_hybrid_dense_serving_matches_rank_r(engine):
     identical to the rank-r path on a mixed-adapter batch."""
     hybrid = ServeEngine(
         engine.modules, DummyTokenizer(), engine.lora_cfg, bank=engine.bank,
-        dtype=jnp.float32, dense_lora_max_dim=128,
+        dtype=jnp.float32, dense_lora_max_dim=128, split_mixed_adapters=False,
+    )
+    rank_r = ServeEngine(
+        engine.modules, DummyTokenizer(), engine.lora_cfg, bank=engine.bank,
+        dtype=jnp.float32, split_mixed_adapters=False,
     )
     prompts = ["hip hop beat", "smooth jazz"]
     adapters = ["hiphop", "jazz"]
-    a = engine.generate(prompts, adapters=adapters, **GEN)
+    a = rank_r.generate(prompts, adapters=adapters, **GEN)
     b = hybrid.generate(prompts, adapters=adapters, **GEN)
     np.testing.assert_allclose(a, b, atol=1e-5)
 
@@ -268,10 +294,14 @@ def test_uniform_batch_routes_through_merged_cache(engine):
     engine._merged_cache.clear()
     uniform = engine.generate(prompts, adapters=["hiphop", "hiphop"], **GEN)
     assert "hiphop" in engine._merged_cache  # merged path was taken
-    # reference: unmerged per-request gather (force it via a mixed batch
-    # where both rows still use hiphop semantics is impossible; instead use
-    # the bank gather path by adding one base row)
-    mixed = engine.generate(prompts + ["filler"], adapters=["hiphop", "hiphop", "base"], **GEN)
+    # reference: unmerged per-request gather (rank-r path — forced via a
+    # split-disabled engine and a mixed batch with one base row; rows 0,1
+    # stay comparable thanks to threefry prefix stability across buckets)
+    nosplit = ServeEngine(
+        engine.modules, DummyTokenizer(), engine.lora_cfg, bank=engine.bank,
+        dtype=jnp.float32, split_mixed_adapters=False,
+    )
+    mixed = nosplit.generate(prompts + ["filler"], adapters=["hiphop", "hiphop", "base"], **GEN)
     np.testing.assert_allclose(uniform[:2], mixed[:2], atol=2e-4)
 
 
@@ -280,3 +310,57 @@ def test_generate_pads_to_bucket_and_slices(engine):
     assert out.shape == (1, 160)  # bucket padding never leaks into the result
     out3 = engine.generate(["a", "b", "c"], adapters=["jazz", "jazz", "jazz"], **GEN)
     assert out3.shape == (3, 160)
+
+
+def test_mixed_batch_splits_to_merged_subbatches(engine):
+    """Mixed-adapter batches route as per-adapter uniform sub-batches on the
+    merged-weight cache (VERDICT round-2 #7: one chip saturates at CFG
+    batch 2, so K merged sub-batches beat one rank-r gathered batch):
+    - every non-base group lands in the merged cache;
+    - no 'lora' (rank-r) fn is compiled;
+    - outputs equal K uniform calls with group-folded keys, rows restored.
+    """
+    eng = ServeEngine(
+        engine.modules, DummyTokenizer(), engine.lora_cfg, bank=engine.bank,
+        dtype=jnp.float32,
+    )
+    prompts = ["hip hop beat", "smooth jazz", "boom bap", "plain"]
+    adapters = ["hiphop", "jazz", "hiphop", None]
+    out = eng.generate(prompts, adapters=adapters, **GEN)
+    assert out.shape == (4, 160)
+    assert set(eng._merged_cache) == {"hiphop", "jazz"}
+    assert not any(k[0] == "lora" for k in eng._fns)  # never took rank-r
+
+    key = jax.random.PRNGKey(GEN["seed"])
+    gen = {k: v for k, v in GEN.items() if k != "seed"}
+    # groups in sorted-name order: base (g0), hiphop (g1), jazz (g2)
+    base = eng.generate(["plain"], adapters=["base"], rng_key=jax.random.fold_in(key, 0), **gen)
+    hip = eng.generate(["hip hop beat", "boom bap"], adapters=["hiphop", "hiphop"],
+                       rng_key=jax.random.fold_in(key, 1), **gen)
+    jazz = eng.generate(["smooth jazz"], adapters=["jazz"], rng_key=jax.random.fold_in(key, 2), **gen)
+    np.testing.assert_allclose(out[3], base[0], atol=1e-6)
+    np.testing.assert_allclose(out[0], hip[0], atol=1e-6)
+    np.testing.assert_allclose(out[2], hip[1], atol=1e-6)
+    np.testing.assert_allclose(out[1], jazz[0], atol=1e-6)
+
+
+def test_flush_overlapped_dispatch_matches_sequential(engine):
+    """flush dispatches every chunk before fetching (device->host transfer
+    of chunk i overlaps chunk i+1's compute); outputs must be IDENTICAL to
+    fetching each chunk synchronously (VERDICT round-2 #6)."""
+    engine._rng_counter = 0
+    gen = {k: v for k, v in GEN.items() if k != "seed"}
+    prompts = ["hip hop beat", "jazz piano", "boom bap", "smooth sax"]
+    adapters = ["hiphop", "jazz", "hiphop", "jazz"]
+    for p, a in zip(prompts, adapters):
+        engine.submit(p, a)
+    out = engine.flush(max_batch=2, seed=11, **gen)
+
+    # sequential reference: same chunking, fetch immediately per chunk
+    base = jax.random.PRNGKey(11)
+    c1 = engine.generate(["hip hop beat", "boom bap"], adapters=["hiphop", "hiphop"],
+                         rng_key=jax.random.fold_in(base, 1), **gen)
+    c2 = engine.generate(["jazz piano", "smooth sax"], adapters=["jazz", "jazz"],
+                         rng_key=jax.random.fold_in(base, 2), **gen)
+    np.testing.assert_allclose(out[[0, 2]], c1, atol=0)
+    np.testing.assert_allclose(out[[1, 3]], c2, atol=0)

@@ -289,7 +289,14 @@ class TUNet(nn.Module):
                 if "CrossAttn" in btype:
                     sample = blk.attentions[j](sample, encoder_hidden_states)
             if hasattr(blk, "upsamplers"):
-                sample = F.interpolate(sample, scale_factor=2.0, mode="nearest")
+                # diffusers forward_upsample_size semantics: when the input
+                # resolution doesn't divide by 2**num_upsamplers, Upsample2D
+                # receives the next skip's spatial size as output_size
+                # (UNet2DConditionModel.forward; equals exact 2x otherwise)
+                if skips:
+                    sample = F.interpolate(sample, size=skips[-1].shape[2:], mode="nearest")
+                else:
+                    sample = F.interpolate(sample, scale_factor=2.0, mode="nearest")
                 sample = blk.upsamplers[0].conv(sample)
 
         sample = self.conv_out(F.silu(self.conv_norm_out(sample)))
@@ -881,3 +888,26 @@ def test_fullgeom_pipeline_trajectory(fullgeom_unet, fullgeom_vae, rng):
     np.testing.assert_allclose(np.asarray(lat_j).transpose(0, 3, 1, 2), lat.numpy(), atol=2e-3)
     mel_j = np.asarray(vae_lib.decode(vae_p, FULLGEOM_VAE, lat_j / sf)).transpose(0, 3, 1, 2)
     np.testing.assert_allclose(mel_j, mel_t, atol=2e-3)
+
+
+def test_fullgeom_unet_nondivisible_resolution(fullgeom_unet, rng):
+    """The 10.0 s clip case: 1000 mel frames -> 250-frame latents, which do
+    NOT divide by 2**3 (250 -> 125 -> 63 -> 32). diffusers handles this via
+    forward_upsample_size (upsample to the skip's size, 32 -> 63 -> 125 ->
+    250); this pins our _upsample_nearest torch-index semantics at a
+    non-2x resize. A 125x16 slice keeps the test fast."""
+    params = convert_unet_state(to_numpy_sd(fullgeom_unet))
+    x = rng.standard_normal((1, 8, 125, 16)).astype(np.float32)
+    t = np.array([500], dtype=np.int64)
+    cls = rng.standard_normal((1, 512)).astype(np.float32)
+
+    with torch.no_grad():
+        out_t = fullgeom_unet(torch.from_numpy(x), torch.from_numpy(t), torch.from_numpy(cls)).numpy()
+    out_j = np.asarray(
+        apply_unet(
+            params, FULLGEOM_UNET, jnp.asarray(x.transpose(0, 2, 3, 1)),
+            jnp.asarray(t), class_labels=jnp.asarray(cls),
+        )
+    ).transpose(0, 3, 1, 2)
+    assert out_j.shape == out_t.shape == (1, 8, 125, 16)
+    np.testing.assert_allclose(out_j, out_t, atol=5e-4)

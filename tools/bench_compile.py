@@ -27,6 +27,8 @@ def main():
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--no-flash", action="store_true")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--only-full", action="store_true",
+                    help="skip the per-stage section; just time the split vs monolithic generate fns")
     args = ap.parse_args()
 
     if args.cpu:
@@ -90,26 +92,36 @@ def main():
     mel = jnp.zeros((1, 1024, 64), jnp.float32)
 
     total = 0.0
-    total += timed("text_encode", lambda: jax.jit(encode_prompt).lower(modules, ids, mask).compile())
-    total += timed("unet_step (CFG batch 2)", lambda: jax.jit(
-        lambda m, x, tt, e: apply_unet(m.unet, m.unet_cfg, x, tt, class_labels=e)
-    ).lower(modules, lat2, t, emb2).compile())
-    total += timed(f"denoise scan x{args.steps}", lambda: jax.jit(
-        lambda m, l, c, u: denoise(m, l, c, u, args.steps, 2.5, dtype=dtype)
-    ).lower(modules, lat, emb, emb).compile())
-    total += timed("vae_decode", lambda: jax.jit(
-        lambda m, z: vae_lib.decode(m.vae, m.vae_cfg, z.astype(dtype))
-    ).lower(modules, lat).compile())
-    total += timed("vocoder", lambda: jax.jit(
-        lambda m, s: apply_vocoder(m.vocoder, m.vocoder_cfg, s)
-    ).lower(modules, mel).compile())
-    print(f"{'sum of stages':28s} {total:8.1f}s")
+    if args.only_full:
+        total = float("nan")
+    else:
+        total += timed("text_encode", lambda: jax.jit(encode_prompt).lower(modules, ids, mask).compile())
+        total += timed("unet_step (CFG batch 2)", lambda: jax.jit(
+            lambda m, x, tt, e: apply_unet(m.unet, m.unet_cfg, x, tt, class_labels=e)
+        ).lower(modules, lat2, t, emb2).compile())
+        total += timed(f"denoise scan x{args.steps}", lambda: jax.jit(
+            lambda m, l, c, u: denoise(m, l, c, u, args.steps, 2.5, dtype=dtype)
+        ).lower(modules, lat, emb, emb).compile())
+        total += timed("vae_decode", lambda: jax.jit(
+            lambda m, z: vae_lib.decode(m.vae, m.vae_cfg, z.astype(dtype))
+        ).lower(modules, lat).compile())
+        total += timed("vocoder", lambda: jax.jit(
+            lambda m, s: apply_vocoder(m.vocoder, m.vocoder_cfg, s)
+        ).lower(modules, mel).compile())
+        print(f"{'sum of stages':28s} {total:8.1f}s")
 
-    fn = make_generate_fn(modules, num_inference_steps=args.steps, dtype=dtype)
     u_ids = jnp.full((1, 512), 1, jnp.int32)
     u_mask = jnp.zeros((1, 512), jnp.int32)
-    timed("full generate fn", lambda: jax.block_until_ready(
-        fn(ids, mask, u_ids, u_mask, jax.random.PRNGKey(0))
+
+    fn_split = make_generate_fn(modules, num_inference_steps=args.steps,
+                                audio_length_in_s=10.24, dtype=dtype, split_compile=True)
+    timed("generate fn (split)", lambda: jax.device_get(
+        fn_split(ids, mask, u_ids, u_mask, jax.random.PRNGKey(0))[0, :8]
+    ))
+    fn_mono = make_generate_fn(modules, num_inference_steps=args.steps,
+                               audio_length_in_s=10.24, dtype=dtype, split_compile=False)
+    timed("generate fn (monolithic)", lambda: jax.device_get(
+        fn_mono(ids, mask, u_ids, u_mask, jax.random.PRNGKey(0))[0, :8]
     ))
 
 

@@ -26,28 +26,20 @@ from audioldm_tpu.train.trainer import lora_loss_fn
 import optax
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=2)
-    ap.add_argument("--tokens", type=int, default=64, help="caption bucket length")
-    ap.add_argument("--no-flash", action="store_true")
-    ap.add_argument("--bwd-bk", type=int, default=None, help="override flash backward block_k")
-    args = ap.parse_args()
-
-    use_flash_attention(not args.no_flash)
-    if args.bwd_bk:
+def bench_one(modules, b: int, L: int, remat: bool, flash: bool, bwd_bk=None) -> float:
+    """Slope-timed seconds per train step at batch b."""
+    use_flash_attention(flash)
+    if bwd_bk:
         import importlib
 
         _fa = importlib.import_module("audioldm_tpu.kernels.flash_attention")
-        _fa._BWD_BLOCK_K = args.bwd_bk
-    modules = full_modules()
+        _fa._BWD_BLOCK_K = bwd_bk
     lcfg = LoRAConfig(r=2, lora_alpha=2)
     tcfg = TrainConfig(learning_rate=1e-4)
     lora = init_lora(jax.random.PRNGKey(1), modules.unet, lcfg)
     opt = make_optimizer(tcfg)
     opt_state = opt.init(lora)
 
-    b, L = args.batch, args.tokens
     batch = {
         "log_mel_spec": jnp.ones((b, 1024, 64, 1), jnp.float32),
         "input_ids": jnp.full((b, L), 5, jnp.int32).at[:, 0].set(0),
@@ -61,7 +53,7 @@ def main():
             def body(carry, key):
                 l_, o_ = carry
                 (loss, _), grads = jax.value_and_grad(
-                    lambda l: lora_loss_fn(l, mods, batch, key, lcfg.scale, jnp.bfloat16),
+                    lambda l: lora_loss_fn(l, mods, batch, key, lcfg.scale, jnp.bfloat16, remat=remat),
                     has_aux=True,
                 )(l_)
                 updates, o_ = opt.update(grads, o_, l_)
@@ -87,10 +79,48 @@ def main():
         t1 = time.perf_counter(); run(hi)
         t2 = time.perf_counter()
         best = min(best, ((t2 - t1) - (t1 - t0)) / (2 * n_lo))
-    print(
-        f"train step b={b} tokens={L} flash={not args.no_flash} bwd_bk={args.bwd_bk}: "
-        f"{best*1e3:.1f} ms -> {b/best:.1f} samples/s"
-    )
+    return best
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=2)
+    ap.add_argument("--tokens", type=int, default=64, help="caption bucket length")
+    ap.add_argument("--no-flash", action="store_true")
+    ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--bwd-bk", type=int, default=None, help="override flash backward block_k")
+    ap.add_argument("--sweep", action="store_true",
+                    help="batch/remat sweep (VERDICT round-3 #3): b in {2,4,8,16,32} x remat, table with samples/s + MFU")
+    args = ap.parse_args()
+
+    from audioldm_tpu.utils import flops as fl
+
+    modules = full_modules()
+
+    def report(b, remat, dt):
+        tf = fl.train_step_flops(batch=b, remat=remat, seqlen=args.tokens)["total"]
+        mfu = fl.mfu(tf.useful, dt)
+        print(
+            f"train step b={b:2d} remat={int(remat)}: {dt*1e3:7.1f} ms  "
+            f"{b/dt:7.1f} samples/s  {tf.useful/dt/1e12:5.1f} TFLOP/s ({100*mfu:.1f}% MFU)",
+            flush=True,
+        )
+
+    if args.sweep:
+        for remat in (False, True):
+            for b in (2, 4, 8, 16, 32):
+                if remat and b < 8:
+                    continue  # remat only matters once HBM pressure is real
+                try:
+                    dt = bench_one(modules, b, args.tokens, remat, not args.no_flash, args.bwd_bk)
+                except Exception as e:  # OOM etc — record and continue
+                    print(f"train step b={b} remat={int(remat)}: FAILED ({type(e).__name__})", flush=True)
+                    continue
+                report(b, remat, dt)
+        return
+
+    dt = bench_one(modules, args.batch, args.tokens, args.remat, not args.no_flash, args.bwd_bk)
+    report(args.batch, args.remat, dt)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,130 @@
+"""Perf-regression smoke check on the real TPU chip (VERDICT round-2 #5).
+
+Runs the two load-bearing benches — the CFG-batch-2 UNet epsilon-step and
+(unless --skip-pipeline) the full 50-step generation pipeline — and compares
+them against the committed thresholds in tools/perf_thresholds.json.
+Exits nonzero on any regression, so one command catches e.g. a flash-routing
+regression (UNet step 13 -> 33 ms) before it ships.
+
+The correctness suite runs on CPU and cannot see perf; this is the TPU-side
+counterpart. Uses the repo's persistent compile cache, so a warm run costs
+seconds (plus bench windows), not a cold compile.
+
+Usage:  python tools/check_perf.py [--skip-pipeline] [--thresholds FILE]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+
+def bench_unet_step() -> float:
+    """Slope-timed UNet epsilon step (ms), flash attention routed."""
+    from tools.bench_unet_step import timed_step
+    from audioldm_tpu.config import UNetConfig
+    from audioldm_tpu.kernels import use_flash_attention
+    from audioldm_tpu.models.unet import init_unet
+
+    use_flash_attention(True)
+    cfg = UNetConfig()
+    params = jax.jit(lambda k: jax.tree.map(lambda x: x.astype(jnp.bfloat16), init_unet(k, cfg)))(
+        jax.random.PRNGKey(0)
+    )
+    jax.block_until_ready(params)
+    x = jnp.zeros((2, 256, 16, cfg.in_channels), jnp.bfloat16)
+    t = jnp.asarray([981, 981], jnp.int32)
+    lbl = jnp.ones((2, cfg.projection_class_embeddings_input_dim), jnp.bfloat16)
+    return timed_step(params, x, t, lbl, cfg) * 1e3
+
+
+def bench_pipeline() -> float:
+    """Full text->audio pipeline (s/clip at 50 DDIM steps), same shapes as
+    bench.py."""
+    from audioldm_tpu.config import (
+        ClapTextConfig, DDIMConfig, UNetConfig, VAEConfig, VocoderConfig,
+    )
+    from audioldm_tpu.kernels import use_flash_attention
+    from audioldm_tpu.models.clap_text import init_clap_text
+    from audioldm_tpu.models.unet import init_unet
+    from audioldm_tpu.models.vae import init_vae
+    from audioldm_tpu.models.vocoder import init_vocoder
+    from audioldm_tpu.pipeline.generate import AudioLDMModules, make_generate_fn
+
+    use_flash_attention(True)
+
+    def _init(key):
+        ks = jax.random.split(key, 4)
+        bf16 = lambda t: jax.tree.map(lambda x: x.astype(jnp.bfloat16), t)
+        return (
+            bf16(init_unet(ks[0], UNetConfig())),
+            bf16(init_vae(ks[1], VAEConfig())),
+            init_clap_text(ks[2], ClapTextConfig()),
+            init_vocoder(ks[3], VocoderConfig()),
+        )
+
+    unet_p, vae_p, text_p, voc_p = jax.jit(_init)(jax.random.PRNGKey(0))
+    jax.block_until_ready(unet_p)
+    modules = AudioLDMModules(
+        unet=unet_p, vae=vae_p, text_encoder=text_p, vocoder=voc_p,
+        unet_cfg=UNetConfig(), vae_cfg=VAEConfig(), text_cfg=ClapTextConfig(),
+        vocoder_cfg=VocoderConfig(), ddim_cfg=DDIMConfig(),
+    )
+    fn = make_generate_fn(modules, num_inference_steps=50, audio_length_in_s=10.24,
+                          guidance_scale=2.5, dtype=jnp.bfloat16)
+    ids = jnp.full((1, 512), 5, jnp.int32).at[:, 0].set(0)
+    mask = jnp.ones((1, 512), jnp.int32)
+    u_ids = jnp.full((1, 512), 1, jnp.int32).at[:, 0].set(0)
+    u_mask = jnp.zeros((1, 512), jnp.int32).at[:, 0].set(1)
+
+    def run(seed):
+        wav = fn(ids, mask, u_ids, u_mask, jax.random.PRNGKey(seed))
+        return jax.device_get(wav[0, :8])
+
+    run(0)  # compile (warm via persistent cache) + warmup
+    run(1)
+    iters = 3
+    t0 = time.perf_counter()
+    for i in range(iters):
+        run(2 + i)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--thresholds", default=os.path.join(os.path.dirname(__file__), "perf_thresholds.json"))
+    ap.add_argument("--skip-pipeline", action="store_true",
+                    help="skip the full-pipeline bench (cold compile is expensive)")
+    args = ap.parse_args()
+    with open(args.thresholds) as f:
+        thr = json.load(f)
+
+    results, failures = {}, []
+
+    ms = bench_unet_step()
+    results["unet_step_ms"] = round(ms, 2)
+    if ms > thr["unet_step_ms"]:
+        failures.append(f"unet_step_ms {ms:.2f} > {thr['unet_step_ms']}")
+
+    if not args.skip_pipeline:
+        s = bench_pipeline()
+        results["pipeline_s_per_clip"] = round(s, 4)
+        if s > thr["pipeline_s_per_clip"]:
+            failures.append(f"pipeline_s_per_clip {s:.4f} > {thr['pipeline_s_per_clip']}")
+
+    print(json.dumps({"ok": not failures, "results": results, "failures": failures}))
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
