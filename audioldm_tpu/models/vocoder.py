@@ -67,12 +67,25 @@ def _apply_resblock(p: dict, x: jnp.ndarray, kernel_size: int, dilations, slope:
     return x
 
 
-def apply_vocoder(params: dict, cfg: VocoderConfig, spectrogram: jnp.ndarray) -> jnp.ndarray:
+def apply_vocoder(params: dict, cfg: VocoderConfig, spectrogram: jnp.ndarray, dtype=None) -> jnp.ndarray:
     """``spectrogram``: ``[B, T, model_in_dim]`` log-mel -> waveform
-    ``[B, T * prod(upsample_rates)]`` float32 in [-1, 1]."""
-    x = spectrogram
+    ``[B, T * prod(upsample_rates)]`` float32 in [-1, 1].
+
+    ``dtype=jnp.bfloat16`` runs the conv stack in bf16 (weights cast at use;
+    input normalization and the final conv_post+tanh stay fp32). Offered
+    because the reference's own app runs the whole pipeline in fp16
+    (app.py:6) — but it is NOT the pipeline default: on-chip slope timing
+    measured bf16 at 19.2-23.0 ms vs fp32's 19.3-20.6 ms for a 10.24 s clip
+    (no reproducible win). The late stages run 32-64 channels over 100k+
+    samples, so the conv is layout/HBM-bound, not MXU-FLOP-bound; halving
+    the element width doesn't move it (second negative result after the
+    space-to-depth repack — PERF.md)."""
+    x = spectrogram.astype(jnp.float32)
     if cfg.normalize_before:
         x = (x - params["mean"].astype(x.dtype)) / params["scale"].astype(x.dtype)
+    if dtype is not None:
+        x = x.astype(dtype)
+        params = jax.tree.map(lambda w: w.astype(dtype), params)
     num_kernels = len(cfg.resblock_kernel_sizes)
     h = conv1d(params["conv_pre"], x, padding=3)
     for i, (rate, ksize) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
@@ -83,7 +96,7 @@ def apply_vocoder(params: dict, cfg: VocoderConfig, spectrogram: jnp.ndarray) ->
             r = _apply_resblock(params["resblocks"][str(i * num_kernels + j)], h, k, dil, cfg.leaky_relu_slope)
             acc = r if acc is None else acc + r
         h = acc / num_kernels
-    h = _leaky(h, 0.01)  # torch leaky_relu default slope on the output stage
-    h = conv1d(params["conv_post"], h, padding=3)
+    h = _leaky(h.astype(jnp.float32), 0.01)  # torch leaky_relu default slope on the output stage
+    h = conv1d(jax.tree.map(lambda w: w.astype(jnp.float32), params["conv_post"]), h, padding=3)
     h = jnp.tanh(h)
     return h[..., 0]

@@ -268,9 +268,16 @@ def generate_mel(
     return vae_lib.decode(modules.vae, modules.vae_cfg, (latents / modules.vae_cfg.scaling_factor).astype(dtype))
 
 
-def vocode(modules: AudioLDMModules, mel: jnp.ndarray, original_samples: int) -> jnp.ndarray:
-    """Mel ``[B, T, F, 1]`` -> waveform ``[B, original_samples]`` float32."""
-    wav = apply_vocoder(modules.vocoder, modules.vocoder_cfg, mel[..., 0].astype(jnp.float32))
+def vocode(modules: AudioLDMModules, mel: jnp.ndarray, original_samples: int, dtype=None) -> jnp.ndarray:
+    """Mel ``[B, T, F, 1]`` -> waveform ``[B, original_samples]`` float32.
+
+    ``dtype=jnp.bfloat16`` runs the HiFi-GAN conv stack in bf16 (an option,
+    NOT the default: on-chip slope timing measured bf16 at 19.2-23.0 ms vs
+    fp32's 19.3-20.6 — no reproducible win, the vocoder's late narrow-channel
+    convs are layout/HBM-bound, not FLOP-bound; PERF.md "vocoder negative
+    results"). fp32 when None."""
+    compute = None if dtype in (None, jnp.float32) else dtype
+    wav = apply_vocoder(modules.vocoder, modules.vocoder_cfg, mel[..., 0], dtype=compute)
     return wav[:, :original_samples]
 
 
@@ -307,6 +314,8 @@ def generate(
         num_waveforms_per_prompt=num_waveforms_per_prompt, eta=eta,
         scheduler=scheduler,
     )
+    # vocoder stays fp32 regardless of the pipeline dtype: measured no bf16
+    # win (layout-bound, see vocode docstring)
     return vocode(modules, mel, original_samples)
 
 

@@ -70,3 +70,33 @@ def test_upsample_factor_is_hop_length():
     cfg = VocoderConfig()
     factor = int(np.prod(cfg.upsample_rates))
     assert factor == 160
+
+
+def test_vocoder_bf16_path_close_to_fp32():
+    """dtype=bfloat16 runs the conv stack in bf16. Kept as an option (the
+    reference's own app runs the whole pipeline in fp16, app.py:6) though
+    NOT the pipeline default — on-chip it measured no win over fp32, the
+    conv being layout/HBM-bound (PERF.md vocoder negative results). Input
+    normalization and conv_post+tanh stay fp32; the waveform must stay
+    close to the fp32 reference."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from audioldm_tpu.config import VocoderConfig
+    from audioldm_tpu.models.vocoder import apply_vocoder, init_vocoder
+
+    cfg = VocoderConfig(
+        model_in_dim=8, upsample_initial_channel=32, upsample_rates=(4, 2, 2),
+        upsample_kernel_sizes=(8, 4, 4), resblock_kernel_sizes=(3, 7),
+        resblock_dilation_sizes=((1, 3), (1, 3)),
+    )
+    params = init_vocoder(jax.random.PRNGKey(0), cfg)
+    mel = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 8), jnp.float32)
+    ref = np.asarray(apply_vocoder(params, cfg, mel))
+    bf = np.asarray(apply_vocoder(params, cfg, mel, dtype=jnp.bfloat16))
+    assert bf.shape == ref.shape and bf.dtype == np.float32
+    # tanh-bounded output; bf16 conv noise stays within ~1% rms
+    rms = np.sqrt(np.mean(ref**2)) + 1e-9
+    err = np.sqrt(np.mean((bf - ref) ** 2))
+    assert err / rms < 0.02, f"bf16 vocoder rel-rms {err / rms:.4f}"

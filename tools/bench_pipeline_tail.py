@@ -81,7 +81,13 @@ def main():
         lambda p, m: apply_vocoder(p, modules.vocoder_cfg, m).astype(jnp.float32),
         modules.vocoder, mel,
     )
-    print(f"vocoder (1024x64 -> 163840 samples): {t*1e3:.2f} ms", flush=True)
+    print(f"vocoder fp32 (1024x64 -> 163840 samples): {t*1e3:.2f} ms", flush=True)
+
+    t = timed(
+        lambda p, m: apply_vocoder(p, modules.vocoder_cfg, m, dtype=jnp.bfloat16).astype(jnp.float32),
+        modules.vocoder, mel,
+    )
+    print(f"vocoder bf16 (1024x64 -> 163840 samples): {t*1e3:.2f} ms", flush=True)
 
 
 if __name__ == "__main__":
