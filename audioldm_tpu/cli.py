@@ -197,6 +197,16 @@ def cmd_train(args):
     )
     steps_per_epoch = max(len(pipe.dataset) // global_bs, 1)
 
+    # measured sizing hint (PERF.md round-3 sweep): per-chip samples/s PEAKS at
+    # per-device batch 2 on v5e (the 4096-token attention saturates the MXU) and
+    # declines monotonically after; scale-out belongs to dp, not batch
+    if tcfg.train_batch_size > 2 and jax.devices()[0].platform == "tpu":
+        print(
+            f"hint: per-device batch {tcfg.train_batch_size} > 2 lowers per-chip "
+            "throughput on v5e (measured peak: b=2, ~39.5 samples/s/chip; see "
+            "PERF.md train sweep) — prefer batch_size=2 with more dp/accum"
+        )
+
     # periodic validation harness (reference: train_audioldm_lora.py:597-607)
     validate_every_epochs = args.validate_every if args.validate_every is not None else run.validation_epochs
     validate_fn = None
