@@ -336,8 +336,18 @@ _flash.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
 # sites inside one UNet trace hit jax's lowering cache and become calls to
 # ONE sub-computation in the HLO, instead of 10 freshly-lowered pallas_call
 # instances — XLA then compiles the Mosaic kernel once (cold-compile lever;
-# VERDICT round-2 #2 "dedupe pallas kernel instantiations").
-_flash_jit = jax.jit(_flash)
+# VERDICT round-2 #2 "dedupe pallas kernel instantiations"). Keyed by the
+# live ``_BWD_BLOCK_K``: the backward reads it at TRACE time, so one global
+# jit object would freeze the first-seen value and silently ignore sweep
+# overrides (tools/bench_train_step.py --bwd-bk) for already-seen shapes.
+_flash_jits: dict = {}
+
+
+def _flash_jit_for_current_config():
+    bk = _BWD_BLOCK_K
+    if bk not in _flash_jits:
+        _flash_jits[bk] = jax.jit(_flash)
+    return _flash_jits[bk]
 
 
 def flash_attention(
@@ -348,4 +358,4 @@ def flash_attention(
     Differentiable: streaming Pallas kernels forward and backward."""
     if interpret or block_q is not None or block_k is not None:
         return _flash_fwd_impl(q, k, v, interpret=interpret, block_q=block_q, block_k=block_k)
-    return _flash_jit(q, k, v)
+    return _flash_jit_for_current_config()(q, k, v)

@@ -83,6 +83,8 @@ def apply_vocoder(params: dict, cfg: VocoderConfig, spectrogram: jnp.ndarray, dt
     x = spectrogram.astype(jnp.float32)
     if cfg.normalize_before:
         x = (x - params["mean"].astype(x.dtype)) / params["scale"].astype(x.dtype)
+    conv_post = params["conv_post"]  # captured BEFORE any bf16 cast: the
+    # output stage must run fp32 arithmetic on FULL-precision weights
     if dtype is not None:
         x = x.astype(dtype)
         params = jax.tree.map(lambda w: w.astype(dtype), params)
@@ -97,6 +99,6 @@ def apply_vocoder(params: dict, cfg: VocoderConfig, spectrogram: jnp.ndarray, dt
             acc = r if acc is None else acc + r
         h = acc / num_kernels
     h = _leaky(h.astype(jnp.float32), 0.01)  # torch leaky_relu default slope on the output stage
-    h = conv1d(jax.tree.map(lambda w: w.astype(jnp.float32), params["conv_post"]), h, padding=3)
+    h = conv1d(jax.tree.map(lambda w: w.astype(jnp.float32), conv_post), h, padding=3)
     h = jnp.tanh(h)
     return h[..., 0]

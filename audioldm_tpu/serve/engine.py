@@ -29,7 +29,7 @@ import numpy as np
 
 from audioldm_tpu.config import LoRAConfig
 from audioldm_tpu.lora import merge_lora
-from audioldm_tpu.pipeline.generate import AudioLDMModules, generate
+from audioldm_tpu.pipeline.generate import AudioLDMModules, generate_mel, vocode
 
 
 class AdapterBank:
@@ -101,6 +101,10 @@ class AdapterBank:
 
 
 class ServeEngine:
+    # measured rank-r-gathered : merged-route cost ratio per clip
+    # (1.16 vs 0.78 s/clip, PERF.md) — used by the mixed-batch split gate
+    RANK_R_OVERHEAD = 1.5
+
     def __init__(
         self,
         modules: AudioLDMModules,
@@ -133,6 +137,26 @@ class ServeEngine:
         self._rng_counter = 0  # monotone across flushes: no seed collisions
         self.traces = 0  # compile-count observability (tested)
 
+        # ONE vocoder program shared by every (bucket, steps, ...) entry:
+        # serving compiles the text+denoise+VAE stage per key and the vocoder
+        # separately (split_compile semantics of make_generate_fn — XLA's
+        # optimization time is superlinear in program size; the monolithic
+        # pipeline cold-compiled 740 s vs ~stage-sum split, PERF.md)
+        def _voc(mods, mel, n):
+            return vocode(mods, mel, n)
+
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            data = NamedSharding(mesh, P("dp"))
+            repl = NamedSharding(mesh, P())
+            self._vocode = jax.jit(
+                _voc, static_argnums=(2,),  # positional: pjit+in_shardings rejects kwargs
+                in_shardings=(repl, data), out_shardings=data,
+            )
+        else:
+            self._vocode = jax.jit(_voc, static_argnums=(2,))
+
     def _bucket(self, b: int) -> int:
         """Smallest configured bucket >= b. Padding the batch to a bucket
         keeps jit cache hits across varying queue lengths (VERDICT weak #6:
@@ -147,12 +171,14 @@ class ServeEngine:
         if key not in self._fns:
             # module bundle is a jit ARGUMENT (params as device buffers, configs
             # static) — the SAME compiled fn serves base weights and any
-            # merged-weight bundle from the cache
+            # merged-weight bundle from the cache. Each entry compiles only the
+            # text+denoise+VAE stage; the vocoder rides the engine-wide
+            # ``self._vocode`` program (split-compile, bit-identical output).
             if with_lora:
 
                 def f(mods, ids, mask, u_ids, u_mask, rng, lora):
                     self.traces += 1  # runs at trace time only
-                    return generate(
+                    return generate_mel(
                         mods, ids, mask, u_ids, u_mask, rng, steps, seconds, guidance,
                         lora=lora, lora_scale=self.lora_cfg.scale, dtype=self.dtype,
                         scheduler=scheduler,
@@ -162,7 +188,7 @@ class ServeEngine:
 
                 def f(mods, ids, mask, u_ids, u_mask, rng):
                     self.traces += 1
-                    return generate(
+                    return generate_mel(
                         mods, ids, mask, u_ids, u_mask, rng, steps, seconds, guidance,
                         dtype=self.dtype, scheduler=scheduler,
                     )
@@ -176,7 +202,10 @@ class ServeEngine:
                 jitted = jax.jit(f, in_shardings=tuple(in_sh), out_shardings=data)
             else:
                 jitted = jax.jit(f)
-            self._fns[key] = lambda *args, _j=jitted: _j(*args)
+            samples = int(seconds * self.modules.vocoder_cfg.sampling_rate)
+            self._fns[key] = lambda *args, _j=jitted, _n=samples: self._vocode(
+                args[0], _j(*args), _n
+            )
         return self._fns[key]
 
     def _tokenize(self, prompts: Sequence[str]):
@@ -210,6 +239,8 @@ class ServeEngine:
         reference's generate_audio.py intent, done per-batch); MIXED-adapter
         batches are split into per-adapter uniform sub-batches that each ride
         the merged cache (see ``_generate_async``)."""
+        if len(prompts) == 0:
+            return np.zeros((0, 0), np.float32)
         parts = self._generate_async(
             prompts, adapters, num_inference_steps, audio_length_in_s,
             guidance_scale, scheduler,
@@ -247,11 +278,13 @@ class ServeEngine:
         queue (VERDICT round-2 #6).
 
         Routing: mixed-adapter batches are split into per-adapter uniform
-        sub-batches, each served from the merged-weight cache. One chip
+        sub-batches, each served from the merged-weight cache, WHEN the
+        bucket config makes that cheaper (cost gate below). One chip
         saturates at CFG batch 2 (serving sweep b=1..8 is flat, PERF.md),
         so K merged sub-batches beat one rank-r gathered batch (~0.8 vs
-        1.16 s/clip). Under a dp mesh sub-batches may not divide the mesh,
-        so the split is disabled and mixed batches keep the rank-r path."""
+        1.16 s/clip) as long as small buckets exist for the sub-batches.
+        Under a dp mesh sub-batches may not divide the mesh, so the split
+        is disabled and mixed batches keep the rank-r path."""
         b = len(prompts)
         if adapters is not None and self.bank is None and any(
             a not in (None, "base") for a in adapters
@@ -279,13 +312,27 @@ class ServeEngine:
         names = None if adapters is None else [a or "base" for a in adapters]
         mixed = names is not None and len(set(names)) > 1 and self.bank is not None
         if mixed and self.mesh is None and self.split_mixed_adapters:
+            groups: dict[str, list[int]] = {}
+            for i, n in enumerate(names):
+                groups.setdefault(n, []).append(i)
+            # cost gate: serving time is ~proportional to the BUCKETED batch
+            # size (s/clip is flat in batch, PERF.md sweep), and the rank-r
+            # gathered path costs ~1.5x the merged route per clip (measured
+            # 1.16 vs 0.78 s/clip). Splitting pays sum(bucket(|group|));
+            # rank-r pays bucket(b) * 1.5. With fine buckets (1,2,4,...) the
+            # split wins (e.g. groups 2+1+1 -> 4 < 6); with ONLY coarse
+            # buckets each sub-batch pads to a full batch and the split is a
+            # measured disaster (2.23 vs 1.16 s/clip at bucket_sizes=(4,)).
+            split_cost = sum(self._bucket(len(r)) for r in groups.values())
+            rank_r_cost = self._bucket(b) * self.RANK_R_OVERHEAD
+            mixed_split = split_cost <= rank_r_cost
+        else:
+            mixed_split = False
+        if mixed_split:
             # split into per-adapter uniform sub-batches (submission order
             # preserved per group); each recursive call is uniform and rides
             # the merged cache. rng folds on the group ordinal — equivalent
             # to the caller making K uniform calls with folded keys.
-            groups: dict[str, list[int]] = {}
-            for i, n in enumerate(names):
-                groups.setdefault(n, []).append(i)
             parts = []
             for g, (name, rows) in enumerate(sorted(groups.items())):
                 sub = self._generate_async(

@@ -154,8 +154,13 @@ def test_flush_bucketing_one_compile(engine):
     t2 = engine.traces
     assert out1.shape == (4, 160) and out2.shape == (3, 160)
     assert t2 == t1  # second flush (size 3 -> bucket 4) reused the compile
-    # a MIXED no-group flush splits into per-adapter sub-batches; buckets
-    # already compiled above/elsewhere must not retrace
+    # a MIXED no-group flush splits into per-adapter sub-batches riding the
+    # SAME plain bucket-2 fn. Warm that bucket explicitly first (a uniform
+    # size-2 flush) so the no-retrace assertion holds on a fresh engine too,
+    # not just after the other tests in this module populated the cache.
+    engine.submit("warm up", "jazz")
+    engine.submit("warm up", "jazz")
+    engine.flush(**GEN)
     engine.submit("boom bap", "jazz")
     engine.submit("boom bap", "jazz")
     engine.submit("hip hop", "hiphop")
@@ -163,7 +168,7 @@ def test_flush_bucketing_one_compile(engine):
     t3 = engine.traces
     out3 = engine.flush(group_by_adapter=False, **GEN)
     assert out3.shape == (4, 160)
-    assert engine.traces == t3  # bucket-2 fns already compiled -> no retrace
+    assert engine.traces == t3  # bucket-2 fn already compiled -> no retrace
 
 
 def test_flush_rng_never_collides(engine):
@@ -342,6 +347,44 @@ def test_mixed_batch_splits_to_merged_subbatches(engine):
     np.testing.assert_allclose(out[0], hip[0], atol=1e-6)
     np.testing.assert_allclose(out[2], hip[1], atol=1e-6)
     np.testing.assert_allclose(out[1], jazz[0], atol=1e-6)
+
+
+def test_generate_empty_batch(engine):
+    """generate([]) returns an empty array without dispatching anything."""
+    out = engine.generate([], **GEN)
+    assert out.shape == (0, 0) and out.dtype == np.float32
+
+
+def test_mixed_split_cost_gate_keeps_rank_r_on_coarse_buckets(engine):
+    """With ONLY coarse buckets every per-adapter sub-batch would pad to a
+    full batch (measured 2.23 vs 1.16 s/clip at bucket_sizes=(4,), PERF.md),
+    so the cost gate must keep the rank-r gathered path there — and still
+    split when fine buckets exist."""
+    coarse = ServeEngine(
+        engine.modules, DummyTokenizer(), engine.lora_cfg, bank=engine.bank,
+        dtype=jnp.float32, bucket_sizes=(4,),
+    )
+    prompts = ["hip hop beat", "smooth jazz", "boom bap", "plain"]
+    adapters = ["hiphop", "jazz", "hiphop", "base"]
+    out = coarse.generate(prompts, adapters=adapters, **GEN)
+    assert out.shape == (4, 160)
+    assert any(k[0] == "lora" for k in coarse._fns)  # took rank-r
+    assert not coarse._merged_cache  # never split to merged sub-batches
+    # rank-r route output matches a split-disabled engine bit-for-bit
+    nosplit = ServeEngine(
+        engine.modules, DummyTokenizer(), engine.lora_cfg, bank=engine.bank,
+        dtype=jnp.float32, bucket_sizes=(4,), split_mixed_adapters=False,
+    )
+    ref = nosplit.generate(prompts, adapters=adapters, **GEN)
+    np.testing.assert_allclose(out, ref, atol=0)
+
+    fine = ServeEngine(
+        engine.modules, DummyTokenizer(), engine.lora_cfg, bank=engine.bank,
+        dtype=jnp.float32, bucket_sizes=(1, 2, 4),
+    )
+    fine.generate(prompts, adapters=adapters, **GEN)
+    assert not any(k[0] == "lora" for k in fine._fns)  # split route taken
+    assert set(fine._merged_cache) == {"hiphop", "jazz"}
 
 
 def test_flush_overlapped_dispatch_matches_sequential(engine):

@@ -65,6 +65,8 @@ def main():
         print(f"{name:28s} {dt:8.1f}s", flush=True)
         return dt
 
+    # deliberately NOT tools.bench_serving.full_modules (one fused init jit):
+    # this tool times init compile per-module, so the 4 jits stay separate
     key = jax.random.PRNGKey(0)
     ks = jax.random.split(key, 4)
     bf16 = lambda t: jax.tree.map(lambda x: x.astype(jnp.bfloat16), t)

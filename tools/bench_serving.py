@@ -109,17 +109,23 @@ def main():
     prompts = ["hip hop beat"] * 4
     gen = dict(num_inference_steps=50, audio_length_in_s=seconds, guidance_scale=2.5)
 
-    for tag, adapters in (("mixed", ["a", "b", "a", "base"]), ("uniform->merged", ["a", "a", "a", "a"])):
-        eng.generate(prompts, adapters=adapters, seed=0, **gen)  # compile
-        eng.generate(prompts, adapters=adapters, seed=1, **gen)
+    eng_fine = ServeEngine(modules, Tok(), lcfg, bank=bank, bucket_sizes=(1, 2, 4))
+    mixed = ["a", "b", "a", "base"]
+    for tag, e, adapters in (
+        ("mixed coarse-buckets(4,) gate->rank-r", eng, mixed),
+        ("mixed fine-buckets(1,2,4) split->merged", eng_fine, mixed),
+        ("uniform->merged", eng, ["a", "a", "a", "a"]),
+    ):
+        e.generate(prompts, adapters=adapters, seed=0, **gen)  # compile
+        e.generate(prompts, adapters=adapters, seed=1, **gen)
         t0 = time.perf_counter()
         for i in range(3):
-            eng.generate(prompts, adapters=adapters, seed=2 + i, **gen)
+            e.generate(prompts, adapters=adapters, seed=2 + i, **gen)
         dt = (time.perf_counter() - t0) / 3
         print(f"serve batch=4 {tag}: {dt:.3f} s/batch = {dt/4:.3f} s/clip ({4/dt:.2f} clips/s)", flush=True)
 
 
-if __name__ == "__main__" and "--sweep" not in sys.argv and "--hybrid" not in sys.argv:
+if __name__ == "__main__" and not any(f in sys.argv for f in ("--sweep", "--hybrid", "--flush")):
     main()
 
 
@@ -178,4 +184,54 @@ def hybrid_sweep():
 
 if __name__ == "__main__" and "--hybrid" in sys.argv:
     hybrid_sweep()
+    sys.exit(0)
+
+
+def flush_overlap():
+    """flush() throughput: overlapped dispatch (all chunks queued before the
+    first fetch) vs a sequential fetch-between-chunks baseline (VERDICT r2 #6)."""
+    use_flash_attention(True)
+    modules = full_modules()
+    lcfg = LoRAConfig(r=4, lora_alpha=4)
+    adapter = jax.tree.map(
+        lambda x: (x + 0.01).astype(jnp.bfloat16),
+        init_lora(jax.random.PRNGKey(1), modules.unet, lcfg),
+    )
+    bank = AdapterBank.from_adapters({"a": adapter}, lcfg)
+    eng = ServeEngine(modules, Tok(), lcfg, bank=bank, bucket_sizes=(4,))
+    gen = dict(num_inference_steps=50, audio_length_in_s=10.24, guidance_scale=2.5)
+    n = 8  # 2 chunks of 4
+
+    def overlapped(seed):
+        for i in range(n):
+            eng.submit(f"hip hop beat {i}", "a")
+        return eng.flush(seed=seed, max_batch=4, **gen)
+
+    def sequential(seed):
+        # same chunks, but fetch each before dispatching the next
+        outs = []
+        for c in range(0, n, 4):
+            eng._rng_counter += 1
+            parts = eng._generate_async(
+                [f"hip hop beat {i}" for i in range(c, c + 4)], ["a"] * 4,
+                gen["num_inference_steps"], gen["audio_length_in_s"],
+                gen["guidance_scale"], "ddim",
+                jax.random.fold_in(jax.random.PRNGKey(seed), eng._rng_counter),
+            )
+            outs.append(eng._assemble(parts, 4))
+        return np.concatenate(outs)
+
+    for tag, run in (("sequential", sequential), ("overlapped-flush", overlapped)):
+        eng._rng_counter = 0
+        run(0); eng._rng_counter = 0; run(0)  # compile + warm
+        t0 = time.perf_counter()
+        for i in range(3):
+            eng._rng_counter = 0
+            run(i)
+        dt = (time.perf_counter() - t0) / 3
+        print(f"flush n={n} chunks=4 {tag}: {dt:.3f} s = {dt/n:.3f} s/clip ({n/dt:.2f} clips/s)", flush=True)
+
+
+if __name__ == "__main__" and "--flush" in sys.argv:
+    flush_overlap()
     sys.exit(0)

@@ -51,35 +51,12 @@ def bench_unet_step() -> float:
 def bench_pipeline() -> float:
     """Full text->audio pipeline (s/clip at 50 DDIM steps), same shapes as
     bench.py."""
-    from audioldm_tpu.config import (
-        ClapTextConfig, DDIMConfig, UNetConfig, VAEConfig, VocoderConfig,
-    )
     from audioldm_tpu.kernels import use_flash_attention
-    from audioldm_tpu.models.clap_text import init_clap_text
-    from audioldm_tpu.models.unet import init_unet
-    from audioldm_tpu.models.vae import init_vae
-    from audioldm_tpu.models.vocoder import init_vocoder
-    from audioldm_tpu.pipeline.generate import AudioLDMModules, make_generate_fn
+    from audioldm_tpu.pipeline.generate import make_generate_fn
+    from tools.bench_serving import full_modules  # ONE init/module recipe for all tools
 
     use_flash_attention(True)
-
-    def _init(key):
-        ks = jax.random.split(key, 4)
-        bf16 = lambda t: jax.tree.map(lambda x: x.astype(jnp.bfloat16), t)
-        return (
-            bf16(init_unet(ks[0], UNetConfig())),
-            bf16(init_vae(ks[1], VAEConfig())),
-            init_clap_text(ks[2], ClapTextConfig()),
-            init_vocoder(ks[3], VocoderConfig()),
-        )
-
-    unet_p, vae_p, text_p, voc_p = jax.jit(_init)(jax.random.PRNGKey(0))
-    jax.block_until_ready(unet_p)
-    modules = AudioLDMModules(
-        unet=unet_p, vae=vae_p, text_encoder=text_p, vocoder=voc_p,
-        unet_cfg=UNetConfig(), vae_cfg=VAEConfig(), text_cfg=ClapTextConfig(),
-        vocoder_cfg=VocoderConfig(), ddim_cfg=DDIMConfig(),
-    )
+    modules = full_modules()
     fn = make_generate_fn(modules, num_inference_steps=50, audio_length_in_s=10.24,
                           guidance_scale=2.5, dtype=jnp.bfloat16)
     ids = jnp.full((1, 512), 5, jnp.int32).at[:, 0].set(0)
