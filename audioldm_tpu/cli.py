@@ -3,6 +3,8 @@ reference's scripts (SURVEY.md §2a components 1, 10-14):
 
   generate        text->audio (replaces app.py + script/inference/generate_audio.py)
   train           LoRA fine-tune (replaces script/train/train_audioldm_lora.py)
+  distill         LCM consistency distillation: 50-step CFG sampler -> 1-8 step
+                  LoRA adapter (beyond the reference; train/distill.py)
   serve           batched multi-LoRA serving: requests jsonl -> wavs (BASELINE config 5;
                   the reference has only the single-adapter merge script)
   score           CLAP/KAD scoring of wav dirs (replaces script/inference/inference.py,
@@ -38,7 +40,7 @@ def _add_generate(sub):
     p.add_argument("--steps", type=int, default=50)
     p.add_argument("--seconds", type=float, default=10.0)
     p.add_argument("--guidance", type=float, default=2.5)
-    p.add_argument("--scheduler", default="ddim", choices=["ddim", "dpm++"])
+    p.add_argument("--scheduler", default="ddim", choices=["ddim", "dpm++", "lcm"])
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--output", default="output.wav")
@@ -285,6 +287,127 @@ def cmd_train(args):
         print(f"done at step {int(state.step)}; no steps run (already at max_steps or empty dataset)")
 
 
+def _add_distill(sub):
+    p = sub.add_parser(
+        "distill",
+        help="LCM consistency-distill the 50-step CFG sampler into a 1-8 step "
+             "LoRA adapter (serve it with generate --scheduler lcm --lora ...)",
+    )
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--config", default=None, help="run config yaml (config.yaml schema)")
+    p.add_argument("--dataset", default=None, help="HF dataset id or wav+txt dir (overrides config)")
+    p.add_argument("--output", required=True)
+    p.add_argument("--max-steps", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--w", default="2.5",
+                   help="guidance baked into the student: a float, or LO,HI to sample w~U[LO,HI] per example")
+    p.add_argument("--ema-decay", type=float, default=0.95)
+    p.add_argument("--num-ddim-steps", type=int, default=50, help="teacher trajectory grid size")
+    p.add_argument("--teacher-lora", default=None,
+                   help="PEFT safetensors merged into the teacher first (distill a fine-tuned genre model)")
+    p.add_argument("--log-every", type=int, default=10)
+    p.add_argument("--dp", type=int, default=None, help="data-parallel devices (default: all)")
+
+
+def cmd_distill(args):
+    import jax
+    import jax.numpy as jnp
+
+    from audioldm_tpu.config import RunConfig
+    from audioldm_tpu.data import AudioCaptionDataset, DataPipeline
+    from audioldm_tpu.data.tokenizer import load_tokenizer
+    from audioldm_tpu.lora import init_lora
+    from audioldm_tpu.parallel import make_mesh
+    from audioldm_tpu.pipeline.generate import AudioLDMModules
+    from audioldm_tpu.train import make_optimizer
+    from audioldm_tpu.train.distill import (
+        add_uncond_tokens, init_distill_state, make_distill_step,
+    )
+    from audioldm_tpu.utils import MetricLogger
+
+    import dataclasses as _dc
+
+    run = RunConfig.from_yaml(args.config) if args.config else RunConfig()
+    if args.dataset:
+        run = _dc.replace(run, dataset_hub_id=args.dataset)
+    tcfg = run.train
+    if args.max_steps:
+        tcfg = _dc.replace(tcfg, max_train_steps=args.max_steps)
+    if args.batch_size:
+        tcfg = _dc.replace(tcfg, train_batch_size=args.batch_size)
+    w = tuple(float(x) for x in args.w.split(",")) if "," in args.w else float(args.w)
+
+    if jax.devices()[0].platform == "tpu":
+        from audioldm_tpu.kernels import use_flash_attention
+
+        use_flash_attention(True)
+
+    modules = AudioLDMModules.from_checkpoint(args.checkpoint)
+    tokenizer = load_tokenizer(os.path.join(args.checkpoint, "tokenizer"))
+    if args.teacher_lora:
+        from audioldm_tpu.ckpt import load_safetensors
+        from audioldm_tpu.config import LoRAConfig
+        from audioldm_tpu.lora import import_peft_state_dict, merge_lora
+
+        tree, rank = import_peft_state_dict(load_safetensors(args.teacher_lora))
+        modules = modules._replace(
+            unet=merge_lora(modules.unet, tree, LoRAConfig(r=rank, lora_alpha=float(rank)))
+        )
+    dtype = jnp.bfloat16 if tcfg.mixed_precision == "bfloat16" else jnp.float32
+    if dtype == jnp.bfloat16:
+        bf = lambda t: jax.tree.map(lambda x: x.astype(jnp.bfloat16), t)
+        modules = modules._replace(unet=bf(modules.unet), vae=bf(modules.vae))
+
+    if os.path.isdir(run.dataset_hub_id):
+        source = run.dataset_hub_id
+    else:
+        from datasets import load_dataset
+
+        source = load_dataset(run.dataset_hub_id, split="train")
+    pipe = DataPipeline(AudioCaptionDataset(source), tokenizer, run.mel)
+
+    mesh = make_mesh(args.dp) if (args.dp or jax.device_count() > 1) else None
+    dp = mesh.devices.size if mesh else 1
+    global_bs = tcfg.train_batch_size * dp
+    logger = MetricLogger(args.output)
+
+    lora = init_lora(jax.random.PRNGKey(tcfg.seed), modules.unet, run.lora)
+    optimizer = make_optimizer(tcfg)
+    state = init_distill_state(lora, optimizer)
+    step_fn = make_distill_step(
+        modules, optimizer, run.lora, mesh=mesh, dtype=dtype, w=w,
+        num_ddim_steps=args.num_ddim_steps, ema_decay=args.ema_decay,
+    )
+
+    base_keys = ("log_mel_spec", "input_ids", "attention_mask")
+    rng = jax.random.PRNGKey(tcfg.seed + 1)
+    data_iter = pipe.batches(global_bs, np.random.default_rng(tcfg.seed), prefetch=run.data.prefetch)
+    metrics = {}
+    for batch in data_iter:
+        if int(state.step) >= tcfg.max_train_steps:
+            break
+        b = add_uncond_tokens({k: batch[k] for k in base_keys}, tokenizer)
+        rng, key = jax.random.split(rng)
+        state, metrics = step_fn(state, b, key)
+        step = int(state.step)
+        if step % args.log_every == 0 or step == tcfg.max_train_steps:
+            logger.log({"distill_loss": float(metrics["loss"]),
+                        "grad_norm": float(metrics["grad_norm"])}, step=step)
+
+    # EMA adapter is the sampler (model.safetensors, PEFT layout -> usable by
+    # generate/serve --lora with --scheduler lcm); raw student kept alongside
+    from safetensors.numpy import save_file
+
+    from audioldm_tpu.lora import export_peft_state_dict
+
+    os.makedirs(args.output, exist_ok=True)
+    for name, tree in (("model", state.ema_lora), ("student", state.lora)):
+        sd = {k: np.asarray(v) for k, v in export_peft_state_dict(jax.device_get(tree)).items()}
+        save_file(sd, os.path.join(args.output, f"{name}.safetensors"))
+    loss_txt = f"; final loss {float(metrics['loss']):.4f}" if "loss" in metrics else ""
+    print(f"distilled {int(state.step)} steps -> {args.output}/model.safetensors{loss_txt}")
+
+
 def _add_serve(sub):
     p = sub.add_parser("serve", help="batched multi-LoRA serving: requests file -> wavs")
     p.add_argument("--checkpoint", required=True, help="audioldm checkpoint dir (HF layout)")
@@ -295,7 +418,7 @@ def _add_serve(sub):
     p.add_argument("--steps", type=int, default=50)
     p.add_argument("--seconds", type=float, default=10.0)
     p.add_argument("--guidance", type=float, default=2.5)
-    p.add_argument("--scheduler", default="ddim", choices=["ddim", "dpm++"])
+    p.add_argument("--scheduler", default="ddim", choices=["ddim", "dpm++", "lcm"])
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--max-batch", type=int, default=None)
     p.add_argument("--output", required=True, help="output dir (000000.wav ... in request order)")
@@ -468,12 +591,13 @@ def cmd_slice(args):
 def main(argv=None):
     parser = argparse.ArgumentParser(prog="audioldm_tpu", description=__doc__)
     sub = parser.add_subparsers(dest="command", required=True)
-    for add in (_add_generate, _add_train, _add_serve, _add_score, _add_export, _add_push, _add_slice):
+    for add in (_add_generate, _add_train, _add_distill, _add_serve, _add_score, _add_export, _add_push, _add_slice):
         add(sub)
     args = parser.parse_args(argv)
     {
         "generate": cmd_generate,
         "train": cmd_train,
+        "distill": cmd_distill,
         "serve": cmd_serve,
         "score": cmd_score,
         "export-dataset": cmd_export,

@@ -155,20 +155,30 @@ def denoise(
     """CFG-batched denoise loop as one ``lax.scan``.
 
     ``scheduler``: "ddim" (the reference's sampler; eta>0 adds the stochastic
-    variance term) or "dpm++" (DPM-Solver++ 2M — comparable quality in
-    ~20-25 steps, a capability beyond the reference)."""
+    variance term), "dpm++" (DPM-Solver++ 2M — comparable quality in
+    ~20-25 steps) or "lcm" (consistency sampling for an LCM-distilled
+    adapter, 1-8 steps, NO CFG — guidance is baked in at distillation time,
+    so each step is ONE UNet eval at batch B instead of two at 2B;
+    ``train/distill.py``)."""
     schedule = make_schedule(modules.ddim_cfg)
-    ts = inference_timesteps(modules.ddim_cfg, num_inference_steps)
-    step_ratio = modules.ddim_cfg.num_train_timesteps // num_inference_steps
-    prev_ts = ts - step_ratio
+    if scheduler == "lcm":
+        from audioldm_tpu.models.lcm import lcm_inference_timesteps
+
+        ts = lcm_inference_timesteps(modules.ddim_cfg, num_inference_steps)
+        if rng is None:
+            raise ValueError("lcm sampling requires an rng (inter-step noise)")
+    else:
+        ts = inference_timesteps(modules.ddim_cfg, num_inference_steps)
+        step_ratio = modules.ddim_cfg.num_train_timesteps // num_inference_steps
+        prev_ts = ts - step_ratio
+        prev_dev = jnp.asarray(prev_ts)
     ts_dev = jnp.asarray(ts)
-    prev_dev = jnp.asarray(prev_ts)
     if eta > 0.0 and rng is None:
         raise ValueError("eta > 0 requires an rng")
-    if scheduler not in ("ddim", "dpm++"):
+    if scheduler not in ("ddim", "dpm++", "lcm"):
         raise ValueError(f"unknown scheduler: {scheduler}")
 
-    do_cfg = uncond_embeds is not None and guidance_scale != 1.0
+    do_cfg = uncond_embeds is not None and guidance_scale != 1.0 and scheduler != "lcm"
     if do_cfg:
         embeds = jnp.concatenate([uncond_embeds, cond_embeds], axis=0)
     else:
@@ -191,6 +201,30 @@ def denoise(
             eps_u, eps_c = eps[:b], eps[b:]
             eps = eps_u + guidance_scale * (eps_c - eps_u)
         return eps
+
+    if scheduler == "lcm":
+        from audioldm_tpu.models.lcm import consistency_output
+
+        n_steps = len(ts)
+
+        def body(carry, idx):
+            lat, _ = carry
+            t = ts_dev[idx]
+            denoised = consistency_output(schedule, predict_eps(lat, t), t, lat)
+            # re-noise to the NEXT grid point (skipped after the final step —
+            # the second carry slot holds the clean estimate)
+            acp_next = jnp.where(
+                idx + 1 < n_steps,
+                schedule.alphas_cumprod[ts_dev[jnp.minimum(idx + 1, n_steps - 1)]],
+                jnp.asarray(1.0, jnp.float32),
+            )
+            noise = jax.random.normal(jax.random.fold_in(rng, idx), lat.shape, jnp.float32)
+            renoised = jnp.sqrt(acp_next) * denoised + jnp.sqrt(1.0 - acp_next) * noise
+            return (renoised, denoised), None
+
+        lat0 = latents.astype(jnp.float32)
+        (_, latents), _ = jax.lax.scan(body, (lat0, lat0), jnp.arange(n_steps))
+        return latents
 
     if scheduler == "dpm++":
         from audioldm_tpu.models.dpm_solver import dpm_solver_step

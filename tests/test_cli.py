@@ -193,6 +193,47 @@ def test_cli_train_with_validation(tiny_checkpoint, tiny_clap_dir, tmp_path, rng
     assert {"clap_score", "original_clap_score", "kad_score_lora", "kad_score_original"} <= keys
 
 
+def test_cli_distill_then_lcm_generate(tiny_checkpoint, tmp_path, rng):
+    """End-to-end LCM distillation entry point: distill a few steps on tiny
+    data, then sample with the exported adapter via --scheduler lcm in 4
+    steps (the fewer-FLOPs path PERF.md's roofline points at)."""
+    import yaml
+
+    data_dir = tmp_path / "ddata"
+    data_dir.mkdir()
+    for i in range(4):
+        write_wav(str(data_dir / f"{i}.wav"), rng.uniform(-0.4, 0.4, 4000).astype(np.float32), 16000)
+        (data_dir / f"{i}.txt").write_text("hip hop music")
+    cfg_path = tmp_path / "drun.yaml"
+    yaml.safe_dump(
+        {
+            "lora": {"r": 2, "lora_alpha": 2},
+            "train": {"train_batch_size": 2, "learning_rate": 0.001},
+            "mel": {"n_mel": 8, "duration": 0.16},
+        },
+        cfg_path.open("w"),
+    )
+    out_dir = str(tmp_path / "lcm")
+    cli.main([
+        "distill", "--checkpoint", tiny_checkpoint, "--config", str(cfg_path),
+        "--dataset", str(data_dir), "--output", out_dir, "--max-steps", "3",
+        "--batch-size", "2", "--log-every", "1", "--w", "2.0", "--dp", "1",
+    ])
+    assert os.path.exists(os.path.join(out_dir, "model.safetensors"))
+    recs = [json.loads(l) for l in open(os.path.join(out_dir, "metrics.jsonl"))]
+    assert all(np.isfinite(r["distill_loss"]) for r in recs)
+
+    out = str(tmp_path / "lcm4.wav")
+    cli.main([
+        "generate", "--checkpoint", tiny_checkpoint, "--prompt", "hip hop music",
+        "--lora", os.path.join(out_dir, "model.safetensors"),
+        "--scheduler", "lcm", "--steps", "4", "--seconds", "0.01",
+        "--output", out, "--fp32",
+    ])
+    wav, sr = read_wav(out)
+    assert sr == 16000 and len(wav) == 160 and np.all(np.isfinite(wav))
+
+
 def test_cli_score_checkpoint_subfolder_layout(tiny_clap_dir, tmp_path, rng):
     """score --checkpoint accepts a checkpoint dir with a clap/ subfolder, as
     its help documents (VERDICT missing #6)."""
