@@ -125,7 +125,7 @@ def main():
         print(f"serve batch=4 {tag}: {dt:.3f} s/batch = {dt/4:.3f} s/clip ({4/dt:.2f} clips/s)", flush=True)
 
 
-if __name__ == "__main__" and not any(f in sys.argv for f in ("--sweep", "--hybrid", "--flush")):
+if __name__ == "__main__" and not any(f in sys.argv for f in ("--sweep", "--hybrid", "--flush", "--lcm")):
     main()
 
 
@@ -234,4 +234,36 @@ def flush_overlap():
 
 if __name__ == "__main__" and "--flush" in sys.argv:
     flush_overlap()
+    sys.exit(0)
+
+
+def lcm_latency():
+    """Single-prompt latency of the LCM consistency sampler (no CFG, one
+    UNet eval/step at batch 1) at 1/2/4/8 steps — the distilled fast path."""
+    use_flash_attention(True)
+    modules = full_modules()
+    ids = jnp.full((1, 512), 5, jnp.int32).at[:, 0].set(0)
+    mask = jnp.ones((1, 512), jnp.int32)
+    u_ids = jnp.full((1, 512), 1, jnp.int32).at[:, 0].set(0)
+    u_mask = jnp.zeros((1, 512), jnp.int32).at[:, 0].set(1)
+    for steps in (8, 4, 2, 1):
+        fn = make_generate_fn(
+            modules, num_inference_steps=steps, audio_length_in_s=10.24,
+            guidance_scale=1.0, dtype=jnp.bfloat16, scheduler="lcm",
+        )
+
+        def run(seed):
+            wav = fn(ids, mask, u_ids, u_mask, jax.random.PRNGKey(seed))
+            return jax.device_get(wav[0, :8])
+
+        run(0); run(1)
+        t0 = time.perf_counter()
+        for i in range(10):
+            run(2 + i)
+        dt = (time.perf_counter() - t0) / 10
+        print(f"lcm {steps} steps: {dt:.3f} s/clip", flush=True)
+
+
+if __name__ == "__main__" and "--lcm" in sys.argv:
+    lcm_latency()
     sys.exit(0)
