@@ -19,12 +19,37 @@ diffusers/transformers instantiate for the audioldm-s stack — see SURVEY.md
 
 from __future__ import annotations
 
+import contextlib
 import math
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# Trace-time switch for the fused [C,3C] self-attention qkv matmul. On a
+# single device the fusion is a pure win (one MXU launch instead of three);
+# under tensor-parallel sharding (parallel/tp.py) the concat along the
+# sharded out-features axis would defeat GSPMD's column-parallel
+# propagation, so the TP step traces with fusion off (three independently
+# column-sharded projections).
+_QKV_FUSION = True
+
+
+def qkv_fusion_enabled() -> bool:
+    return _QKV_FUSION
+
+
+@contextlib.contextmanager
+def qkv_fusion(enabled: bool):
+    """Context manager: override the qkv-fusion flag during tracing."""
+    global _QKV_FUSION
+    prev = _QKV_FUSION
+    _QKV_FUSION = enabled
+    try:
+        yield
+    finally:
+        _QKV_FUSION = prev
 
 # ---------------------------------------------------------------------------
 # Initializers (used for tests and LoRA init; real weights come from ckpt)
@@ -292,7 +317,7 @@ def attention(
             y = y + lora_delta(name, inp)
         return y
 
-    if context is x:
+    if context is x and _QKV_FUSION:
         # self-attention: q/k/v share the input, so the three bias-free
         # projections fuse into ONE [C, 3C] matmul (better MXU occupancy than
         # 3 small launches); LoRA deltas still apply per projection

@@ -4,5 +4,20 @@ from audioldm_tpu.parallel.mesh import (
     replicated,
     shard_batch,
 )
+from audioldm_tpu.parallel.tp import (
+    make_tp_mesh,
+    make_tp_unet_step,
+    shard_unet_params,
+    unet_tp_specs,
+)
 
-__all__ = ["batch_sharding", "make_mesh", "replicated", "shard_batch"]
+__all__ = [
+    "batch_sharding",
+    "make_mesh",
+    "make_tp_mesh",
+    "make_tp_unet_step",
+    "replicated",
+    "shard_batch",
+    "shard_unet_params",
+    "unet_tp_specs",
+]

@@ -1,0 +1,130 @@
+"""Tensor-parallel UNet step (parallel/tp.py) on the virtual 8-device mesh.
+
+Validates the GSPMD column/row attention split: output equality with the
+single-device epsilon step, presence of the expected all-reduce collective
+in the partitioned HLO, and robustness when heads % tp != 0 (GSPMD
+reshards; numbers must not change).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from audioldm_tpu.config import UNetConfig
+from audioldm_tpu.models.unet import apply_unet, init_unet
+from audioldm_tpu.parallel import (
+    make_tp_mesh,
+    make_tp_unet_step,
+    shard_unet_params,
+    unet_tp_specs,
+)
+
+TINY = UNetConfig(
+    in_channels=4,
+    out_channels=4,
+    block_out_channels=(16, 32),
+    down_block_types=("CrossAttnDownBlock2D", "DownBlock2D"),
+    up_block_types=("UpBlock2D", "CrossAttnUpBlock2D"),
+    layers_per_block=1,
+    norm_num_groups=4,
+    attention_head_dim=4,  # heads=4 at every level -> tp in {2,4} divides
+    projection_class_embeddings_input_dim=8,
+)
+
+
+def _inputs(cfg, b=2):
+    k = jax.random.PRNGKey(7)
+    lat = jax.random.normal(k, (b, 16, 8, cfg.in_channels), jnp.float32)
+    t = jnp.asarray([981] * b, jnp.int32)
+    lbl = jax.random.normal(
+        jax.random.PRNGKey(8), (b, cfg.projection_class_embeddings_input_dim), jnp.float32
+    )
+    return lat, t, lbl
+
+
+@pytest.fixture(scope="module")
+def params():
+    return init_unet(jax.random.PRNGKey(0), TINY)
+
+
+def test_specs_structure_and_rules(params):
+    specs = unet_tp_specs(params)
+    assert jax.tree_util.tree_structure(specs) == jax.tree_util.tree_structure(params)
+    flat = jax.tree_util.tree_flatten_with_path(specs)[0]
+    col = [p for p, s in flat if s == P(None, "tp")]
+    row = [p for p, s in flat if s == P("tp", None)]
+    assert col and row
+    for path, s in flat:
+        keys = [str(getattr(k, "key", "")) for k in path]
+        if s == P(None, "tp"):
+            assert keys[-2] in ("to_q", "to_k", "to_v") and keys[-1] == "kernel"
+        elif s == P("tp", None):
+            assert keys[-2] == "to_out" and keys[-1] == "kernel"
+        else:
+            assert s == P()
+    # every attention projection kernel is sharded, nothing else is
+    n_attn = sum(1 for p, _ in flat if any(str(getattr(k, "key", "")) in ("attn1", "attn2") for k in p))
+    assert len(col) + len(row) == sum(
+        1
+        for p, _ in flat
+        if any(str(getattr(k, "key", "")) in ("attn1", "attn2") for k in p)
+        and str(getattr(p[-1], "key", "")) == "kernel"
+    )
+    assert n_attn > len(col) + len(row)  # to_out bias stayed replicated
+
+
+@pytest.mark.parametrize("tp", [2, 4])
+def test_tp_step_matches_single_device(params, tp):
+    cfg = TINY
+    lat, t, lbl = _inputs(cfg)
+    ref = apply_unet(params, cfg, lat, t, class_labels=lbl)
+
+    mesh = make_tp_mesh(tp)
+    sharded = shard_unet_params(mesh, params)
+    step = make_tp_unet_step(cfg, mesh)
+    out = step(sharded, lat, t, lbl)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_tp_step_heads_not_divisible_still_exact(params):
+    # heads=4, tp=8: GSPMD must fall back to resharding, not change numbers
+    cfg = TINY
+    lat, t, lbl = _inputs(cfg)
+    ref = apply_unet(params, cfg, lat, t, class_labels=lbl)
+    mesh = make_tp_mesh(8)
+    out = make_tp_unet_step(cfg, mesh)(shard_unet_params(mesh, params), lat, t, lbl)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_tp_hlo_contains_all_reduce(params):
+    # the to_out row split must lower to a real collective on the tp axis
+    cfg = TINY
+    lat, t, lbl = _inputs(cfg)
+    mesh = make_tp_mesh(2)
+    sharded = shard_unet_params(mesh, params)
+    step = make_tp_unet_step(cfg, mesh)
+    from audioldm_tpu.models.nn import qkv_fusion
+
+    with qkv_fusion(False):
+        txt = step.jitted.lower(sharded, lat, t, lbl).compile().as_text()
+    assert "all-reduce" in txt
+
+
+def test_shard_unet_params_placement(params):
+    mesh = make_tp_mesh(2)
+    sharded = shard_unet_params(mesh, params)
+    leaf = sharded["down_blocks"]["0"]["attentions"]["0"]["transformer_blocks"]["0"]["attn1"][
+        "to_q"
+    ]["kernel"]
+    assert leaf.sharding.spec == P(None, "tp")
+    # sharded placement must not alter values
+    np.testing.assert_array_equal(
+        np.asarray(leaf),
+        np.asarray(
+            params["down_blocks"]["0"]["attentions"]["0"]["transformer_blocks"]["0"]["attn1"][
+                "to_q"
+            ]["kernel"]
+        ),
+    )

@@ -91,6 +91,8 @@ def main():
     ap.add_argument("--bwd-bk", type=int, default=None, help="override flash backward block_k")
     ap.add_argument("--sweep", action="store_true",
                     help="batch/remat sweep (VERDICT round-3 #3): b in {2,4,8,16,32} x remat, table with samples/s + MFU")
+    ap.add_argument("--distill", action="store_true",
+                    help="time the LCM distillation step instead (student fwd+bwd + CFG teacher + EMA target)")
     args = ap.parse_args()
 
     from audioldm_tpu.utils import flops as fl
@@ -105,6 +107,43 @@ def main():
             f"{b/dt:7.1f} samples/s  {tf.useful/dt/1e12:5.1f} TFLOP/s ({100*mfu:.1f}% MFU)",
             flush=True,
         )
+
+    if args.distill:
+        import optax
+
+        from audioldm_tpu.config import LoRAConfig
+        from audioldm_tpu.kernels import use_flash_attention
+        from audioldm_tpu.lora import init_lora
+        from audioldm_tpu.train.distill import init_distill_state, make_distill_step
+
+        use_flash_attention(not args.no_flash)
+        b, L = args.batch, args.tokens
+        lcfg = LoRAConfig(r=2, lora_alpha=2)
+        lora = init_lora(jax.random.PRNGKey(1), modules.unet, lcfg)
+        opt = optax.adamw(1e-4)
+        state = init_distill_state(lora, opt)
+        step = make_distill_step(modules, opt, lcfg, dtype=jnp.bfloat16, w=2.5)
+        batch = {
+            "log_mel_spec": jnp.ones((b, 1024, 64, 1), jnp.float32),
+            "input_ids": jnp.full((b, L), 5, jnp.int32).at[:, 0].set(0),
+            "attention_mask": jnp.ones((b, L), jnp.int32),
+            "uncond_ids": jnp.full((1, L), 1, jnp.int32).at[:, 0].set(0),
+            "uncond_mask": jnp.zeros((1, L), jnp.int32).at[:, 0].set(1),
+        }
+        for i in range(2):
+            state, m = step(state, batch, jax.random.PRNGKey(i))
+        # fence with a host fetch: on this remote backend block_until_ready
+        # returns before execution finishes (NOTES gotcha) — without it the
+        # timed window absorbs the compile
+        jax.device_get(jax.tree.leaves(state.lora)[0].ravel()[:1])
+        n = 10
+        t0 = time.perf_counter()
+        for i in range(n):
+            state, m = step(state, batch, jax.random.PRNGKey(2 + i))
+        print(f"# warm loss {float(m['loss']):.4f}")  # fences the dispatch queue
+        dt = (time.perf_counter() - t0) / n
+        print(f"distill step b={b}: {dt*1e3:7.1f} ms  {b/dt:7.1f} samples/s", flush=True)
+        return
 
     if args.sweep:
         for remat in (False, True):
