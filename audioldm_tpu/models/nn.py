@@ -51,6 +51,31 @@ def qkv_fusion(enabled: bool):
     finally:
         _QKV_FUSION = prev
 
+
+# Trace-time degree for the tensor-parallel GEGLU feed-forward split
+# (parallel/tp.py). 1 = off (single-device contiguous [h | gate] halves).
+# When > 1, ``apply_ff`` expects the geglu kernel/bias columns stored in the
+# shard-interleaved layout ``[h_0 | gate_0 | h_1 | gate_1 | ...]`` produced by
+# ``parallel.tp.shard_unet_params`` so each chip's column shard contains a
+# matching (h, gate) pair and the activation split stays chip-local.
+_FF_TP = 1
+
+
+def ff_tp_degree() -> int:
+    return _FF_TP
+
+
+@contextlib.contextmanager
+def ff_tp(n: int):
+    """Context manager: set the FF tensor-parallel degree during tracing."""
+    global _FF_TP
+    prev = _FF_TP
+    _FF_TP = max(1, int(n))
+    try:
+        yield
+    finally:
+        _FF_TP = prev
+
 # ---------------------------------------------------------------------------
 # Initializers (used for tests and LoRA init; real weights come from ckpt)
 # ---------------------------------------------------------------------------

@@ -34,6 +34,7 @@ import jax
 import jax.numpy as jnp
 
 from audioldm_tpu.config import UNetConfig
+from audioldm_tpu.models import nn
 from audioldm_tpu.models.nn import (
     ACT,
     attention,
@@ -121,8 +122,22 @@ def init_ff(key, dim: int, mult: int = 4) -> dict:
 
 def apply_ff(p: dict, x: jnp.ndarray) -> jnp.ndarray:
     h = linear(p["geglu"], x)
-    h, gate = jnp.split(h, 2, axis=-1)
-    h = h * jax.nn.gelu(gate.astype(jnp.float32), approximate=False).astype(h.dtype)
+    half = p["geglu"]["kernel"].shape[-1] // 2
+    tp = nn.ff_tp_degree()
+    if tp > 1 and half % tp == 0:
+        # tensor-parallel layout (parallel/tp.py): geglu columns are stored
+        # shard-interleaved as [h_d | gate_d] blocks, so splitting via this
+        # reshape keeps the (h, gate) pairing local to each chip's column
+        # shard; the un-permuted `out` matmul then row-reduces into ONE
+        # all-reduce. Bit-identical to the contiguous split (same scalars,
+        # reordered columns).
+        y = h.reshape(*h.shape[:-1], tp, 2, half // tp)
+        a, gate = y[..., 0, :], y[..., 1, :]
+        a = a * jax.nn.gelu(gate.astype(jnp.float32), approximate=False).astype(a.dtype)
+        h = a.reshape(*a.shape[:-2], half)
+    else:
+        h, gate = jnp.split(h, 2, axis=-1)
+        h = h * jax.nn.gelu(gate.astype(jnp.float32), approximate=False).astype(h.dtype)
     return linear(p["out"], h)
 
 

@@ -19,13 +19,18 @@ no hand-written collectives, XLA inserts the psum on ICI):
 - ``to_out`` kernel ``[C, C]``: rows sharded ``P('tp', None)`` — the
   contraction over the sharded axis becomes ONE all-reduce per attention
   block, the only collective in the block.
-- Everything else (convs, norms, time/class embeddings, the GEGLU FF) is
-  replicated. The FF is deliberately NOT column/row-split: ``apply_ff``
-  splits the geglu output into contiguous ``[h | gate]`` halves, and
-  column-sharding the ``[C, 8C]`` kernel would put each half on a
-  disjoint device group — GSPMD would stay correct but insert an
-  all-to-all per FF. The right fix is a half-interleaved kernel layout;
-  until then replicated FF keeps the TP program collective-minimal.
+- GEGLU FF: column/row-split with a **shard-interleaved kernel layout**.
+  ``apply_ff`` splits the geglu output into ``[h | gate]`` halves; naive
+  column sharding of the ``[C, 8C]`` kernel would put each half on a
+  disjoint device group and force an all-to-all. Instead
+  :func:`shard_unet_params` stores the geglu kernel/bias columns permuted
+  as ``[h_0 | gate_0 | h_1 | gate_1 | ...]`` (one ``[h_d | gate_d]`` pair
+  per shard) so each chip's column shard carries a matching (h, gate)
+  pair — the activation split is chip-local, the un-permuted ``out``
+  kernel row-shards ``P('tp', None)`` (the flattened h order is unchanged
+  by the permutation), and the FF costs exactly ONE all-reduce like
+  attention. ``apply_ff`` reads the trace-time degree via ``nn.ff_tp``.
+- Everything else (convs, norms, time/class embeddings) is replicated.
 
 The step traces with the fused-qkv path disabled (``nn.qkv_fusion(False)``)
 — the ``[C,3C]`` concat along the sharded axis would otherwise defeat
@@ -46,6 +51,7 @@ from __future__ import annotations
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -69,9 +75,11 @@ def _path_keys(path) -> list:
     return out
 
 
-def unet_tp_specs(params: dict) -> dict:
+def unet_tp_specs(params: dict, tp: int = 1) -> dict:
     """PartitionSpec pytree matching a UNet param tree: attention
-    column/row-split on ``tp``, everything else replicated."""
+    column/row-split on ``tp``; the GEGLU FF likewise when its hidden
+    width divides ``tp`` (its kernel layout is then shard-interleaved —
+    see :func:`shard_unet_params`); everything else replicated."""
 
     def spec(path, leaf):
         keys = _path_keys(path)
@@ -81,17 +89,48 @@ def unet_tp_specs(params: dict) -> dict:
                 return P(None, "tp")
             if proj == "to_out" and leafname == "kernel":
                 return P("tp", None)
+        if len(keys) >= 3 and keys[-3] == "ff":
+            proj, leafname = keys[-2], keys[-1]
+            half = leaf.shape[-1] // 2 if proj == "geglu" else leaf.shape[0]
+            if tp > 1 and half % tp == 0:
+                if proj == "geglu":  # kernel AND bias: columns split with h
+                    return P(None, "tp") if leafname == "kernel" else P("tp")
+                if proj == "out" and leafname == "kernel":
+                    return P("tp", None)
         return P()
 
     return jax.tree_util.tree_map_with_path(spec, params)
 
 
+def _interleave_geglu(arr: jax.Array, tp: int) -> jax.Array:
+    """Permute geglu out-columns ``[h | gate]`` -> ``[h_0|gate_0|h_1|...]``
+    so a ``tp``-way column shard holds one matching (h, gate) pair."""
+    half = arr.shape[-1] // 2
+    inner = half // tp
+    lead = arr.shape[:-1]
+    h = arr[..., :half].reshape(*lead, tp, inner)
+    g = arr[..., half:].reshape(*lead, tp, inner)
+    return jnp.concatenate([h, g], axis=-1).reshape(*lead, 2 * half)
+
+
 def shard_unet_params(mesh: Mesh, params: dict) -> dict:
-    """Place a UNet param tree onto the ``tp`` mesh per unet_tp_specs."""
-    specs = unet_tp_specs(params)
-    return jax.tree.map(
-        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
-    )
+    """Place a UNet param tree onto the ``tp`` mesh per unet_tp_specs.
+
+    FF geglu kernels/biases that shard are stored in the interleaved
+    column layout ``apply_ff`` expects under ``nn.ff_tp`` (the values on
+    the mesh are a column permutation of the originals — gather them back
+    through :func:`_interleave_geglu`'s inverse if you need the canonical
+    layout; the step's outputs are bit-identical either way)."""
+    tp = mesh.shape["tp"]
+    specs = unet_tp_specs(params, tp)
+
+    def place(path, x, s):
+        keys = _path_keys(path)
+        if len(keys) >= 2 and keys[-2] == "geglu" and s != P():
+            x = _interleave_geglu(x, tp)
+        return jax.device_put(x, NamedSharding(mesh, s))
+
+    return jax.tree_util.tree_map_with_path(place, params, specs)
 
 
 def make_tp_unet_step(cfg: UNetConfig, mesh: Mesh):
@@ -124,7 +163,7 @@ def make_tp_unet_step(cfg: UNetConfig, mesh: Mesh):
         prev_flash = flash_enabled()
         use_flash_attention(False)
         try:
-            with nn.qkv_fusion(False):
+            with nn.qkv_fusion(False), nn.ff_tp(mesh.shape["tp"]):
                 return step(params, latents, t, class_labels)
         finally:
             use_flash_attention(prev_flash)

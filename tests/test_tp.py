@@ -50,6 +50,7 @@ def params():
 
 
 def test_specs_structure_and_rules(params):
+    # default tp=1: attention-only split, FF replicated
     specs = unet_tp_specs(params)
     assert jax.tree_util.tree_structure(specs) == jax.tree_util.tree_structure(params)
     flat = jax.tree_util.tree_flatten_with_path(specs)[0]
@@ -73,6 +74,51 @@ def test_specs_structure_and_rules(params):
         and str(getattr(p[-1], "key", "")) == "kernel"
     )
     assert n_attn > len(col) + len(row)  # to_out bias stayed replicated
+
+
+def test_ff_specs_and_divisibility(params):
+    # tp=2 divides every level's FF hidden width (half = 4*C): geglu
+    # kernel+bias column-sharded, out kernel row-sharded, out bias replicated
+    specs = unet_tp_specs(params, 2)
+    flat = jax.tree_util.tree_flatten_with_path(specs)[0]
+    ff = {
+        tuple(str(getattr(k, "key", "")) for k in p)[-2:]: s
+        for p, s in flat
+        if any(str(getattr(k, "key", "")) == "ff" for k in p)
+    }
+    assert ff[("geglu", "kernel")] == P(None, "tp")
+    assert ff[("geglu", "bias")] == P("tp")
+    assert ff[("out", "kernel")] == P("tp", None)
+    assert ff[("out", "bias")] == P()
+    # tp=3 divides nothing here (half in {64, 128}): FF fully replicated
+    specs3 = jax.tree_util.tree_flatten_with_path(unet_tp_specs(params, 3))[0]
+    assert all(
+        s == P()
+        for p, s in specs3
+        if any(str(getattr(k, "key", "")) == "ff" for k in p)
+    )
+
+
+@pytest.mark.parametrize("tp", [2, 4])
+def test_ff_interleaved_apply_matches_contiguous(params, tp):
+    # the interleaved-layout apply path is a pure column permutation:
+    # permute params, trace under nn.ff_tp(tp), compare single-device
+    from audioldm_tpu.models import nn
+    from audioldm_tpu.models.unet import apply_ff
+    from audioldm_tpu.parallel.tp import _interleave_geglu
+
+    ffp = params["down_blocks"]["0"]["attentions"]["0"]["transformer_blocks"]["0"]["ff"]
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 11, 16), jnp.float32)
+    ref = apply_ff(ffp, x)
+    perm = dict(ffp)
+    perm["geglu"] = {k: _interleave_geglu(v, tp) for k, v in ffp["geglu"].items()}
+    with nn.ff_tp(tp):
+        out = apply_ff(perm, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+    # non-divisible degree must fall back to the contiguous split untouched
+    with nn.ff_tp(3):
+        out3 = apply_ff(ffp, x)
+    np.testing.assert_array_equal(np.asarray(out3), np.asarray(ref))
 
 
 @pytest.mark.parametrize("tp", [2, 4])
@@ -105,9 +151,9 @@ def test_tp_hlo_contains_all_reduce(params):
     mesh = make_tp_mesh(2)
     sharded = shard_unet_params(mesh, params)
     step = make_tp_unet_step(cfg, mesh)
-    from audioldm_tpu.models.nn import qkv_fusion
+    from audioldm_tpu.models.nn import ff_tp, qkv_fusion
 
-    with qkv_fusion(False):
+    with qkv_fusion(False), ff_tp(2):
         txt = step.jitted.lower(sharded, lat, t, lbl).compile().as_text()
     assert "all-reduce" in txt
 
