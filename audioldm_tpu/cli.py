@@ -45,6 +45,8 @@ def _add_generate(sub):
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--output", default="output.wav")
     p.add_argument("--fp32", action="store_true")
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel devices: shard the UNet's attention/FF over a tp mesh for multi-chip latency scaling (parallel/tp.py)")
 
 
 def cmd_generate(args):
@@ -78,11 +80,22 @@ def cmd_generate(args):
     tok = tokenizer([args.prompt] * args.batch)
     unc = tokenizer([args.negative_prompt])
 
-    fn = make_generate_fn(
-        modules, num_inference_steps=args.steps, audio_length_in_s=args.seconds,
-        guidance_scale=args.guidance, dtype=jnp.float32 if args.fp32 else jnp.bfloat16,
-        scheduler=args.scheduler,
-    )
+    if args.tp > 1:
+        from audioldm_tpu.parallel import make_tp_generate_fn, make_tp_mesh, shard_modules
+
+        mesh = make_tp_mesh(args.tp)
+        fn = make_tp_generate_fn(
+            shard_modules(mesh, modules), mesh, num_inference_steps=args.steps,
+            audio_length_in_s=args.seconds, guidance_scale=args.guidance,
+            dtype=jnp.float32 if args.fp32 else jnp.bfloat16, scheduler=args.scheduler,
+        )
+        print(f"tensor-parallel over {args.tp} devices (attention heads + FF sharded)")
+    else:
+        fn = make_generate_fn(
+            modules, num_inference_steps=args.steps, audio_length_in_s=args.seconds,
+            guidance_scale=args.guidance, dtype=jnp.float32 if args.fp32 else jnp.bfloat16,
+            scheduler=args.scheduler,
+        )
     wav = np.asarray(
         fn(
             jnp.asarray(tok["input_ids"]), jnp.asarray(tok["attention_mask"]),

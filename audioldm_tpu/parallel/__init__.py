@@ -5,8 +5,10 @@ from audioldm_tpu.parallel.mesh import (
     shard_batch,
 )
 from audioldm_tpu.parallel.tp import (
+    make_tp_generate_fn,
     make_tp_mesh,
     make_tp_unet_step,
+    shard_modules,
     shard_unet_params,
     unet_tp_specs,
 )
@@ -14,10 +16,12 @@ from audioldm_tpu.parallel.tp import (
 __all__ = [
     "batch_sharding",
     "make_mesh",
+    "make_tp_generate_fn",
     "make_tp_mesh",
     "make_tp_unet_step",
     "replicated",
     "shard_batch",
+    "shard_modules",
     "shard_unet_params",
     "unet_tp_specs",
 ]

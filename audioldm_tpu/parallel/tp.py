@@ -170,3 +170,90 @@ def make_tp_unet_step(cfg: UNetConfig, mesh: Mesh):
 
     call.jitted = step
     return call
+
+
+def shard_modules(mesh: Mesh, modules):
+    """Place an :class:`AudioLDMModules` bundle for TP generation: the UNet
+    column/row-shards (:func:`shard_unet_params`, FF kernels stored
+    interleaved), every other submodel replicates. The UNet carries ~95% of
+    the pipeline's time (PERF.md step anatomy × 50 steps), so sharding it
+    alone captures nearly all the latency win while keeping the VAE/vocoder
+    programs collective-free."""
+    repl = NamedSharding(mesh, P())
+    put = lambda tree: jax.tree.map(lambda x: jax.device_put(x, repl), tree)
+    return modules._replace(
+        unet=shard_unet_params(mesh, modules.unet),
+        vae=put(modules.vae),
+        text_encoder=put(modules.text_encoder),
+        vocoder=put(modules.vocoder),
+    )
+
+
+def make_tp_generate_fn(
+    modules,
+    mesh: Mesh,
+    num_inference_steps: int = 50,
+    audio_length_in_s: float = 10.0,
+    guidance_scale: float = 2.5,
+    dtype=None,
+    scheduler: str = "ddim",
+):
+    """Tensor-parallel text->audio generation — multi-chip *latency* mode.
+
+    ``modules`` must be placed with :func:`shard_modules` on the same mesh.
+    Signature matches ``pipeline.generate.make_generate_fn``'s product:
+    ``fn(input_ids, attention_mask, uncond_ids, uncond_mask, rng,
+    lora=None) -> waveform`` with all activations replicated across ``tp``
+    (every chip computes the full CFG batch; the UNet's attention heads and
+    FF hidden width are what's sharded — one all-reduce per projection
+    block on ICI). A replicated LoRA tree rides along for free: its rank-r
+    deltas add to the column-sharded projections as local slices of a
+    replicated operand — no extra collectives.
+
+    Traced with flash attention off (Pallas has no GSPMD partitioning rule)
+    and the qkv/geglu layouts in their TP forms; split-compiles the mel
+    stage and the vocoder like the single-device path (compile time is
+    superlinear in program size — PERF.md)."""
+    import functools
+
+    import jax.numpy as jnp
+
+    from audioldm_tpu.pipeline.generate import generate_mel, vocode
+
+    if dtype is None:
+        dtype = jnp.bfloat16
+    repl = NamedSharding(mesh, P())
+    voc_samples = int(audio_length_in_s * modules.vocoder_cfg.sampling_rate)
+
+    @functools.partial(jax.jit, out_shardings=repl)
+    def fn_mel(mods, input_ids, attention_mask, uncond_ids, uncond_mask, rng, lora):
+        return generate_mel(
+            mods, input_ids, attention_mask, uncond_ids, uncond_mask, rng,
+            num_inference_steps, audio_length_in_s, guidance_scale,
+            lora=lora, dtype=dtype, scheduler=scheduler,
+        )
+
+    @functools.partial(jax.jit, out_shardings=repl)
+    def fn_voc(mods, mel):
+        return vocode(mods, mel, voc_samples)
+
+    def fn(input_ids, attention_mask, uncond_ids, uncond_mask, rng, lora=None):
+        from audioldm_tpu.kernels import flash_enabled, use_flash_attention
+        from audioldm_tpu.models import nn
+
+        args = tuple(
+            jax.device_put(jnp.asarray(x), repl)
+            for x in (input_ids, attention_mask, uncond_ids, uncond_mask, rng)
+        )
+        if lora is not None:
+            lora = jax.tree.map(lambda x: jax.device_put(x, repl), lora)
+        prev_flash = flash_enabled()
+        use_flash_attention(False)
+        try:
+            with nn.qkv_fusion(False), nn.ff_tp(mesh.shape["tp"]):
+                mel = fn_mel(modules, *args, lora)
+                return fn_voc(modules, mel)
+        finally:
+            use_flash_attention(prev_flash)
+
+    return fn

@@ -158,6 +158,62 @@ def test_tp_hlo_contains_all_reduce(params):
     assert "all-reduce" in txt
 
 
+def test_tp_generate_matches_single_device(params):
+    # full pipeline (text -> denoise scan -> VAE -> vocoder) under TP ==
+    # the single-device path, with and without a replicated LoRA tree
+    from audioldm_tpu.config import (
+        ClapTextConfig,
+        DDIMConfig,
+        LoRAConfig,
+        VAEConfig,
+        VocoderConfig,
+    )
+    from audioldm_tpu.lora import init_lora
+    from audioldm_tpu.pipeline.generate import generate, random_modules
+    from audioldm_tpu.parallel import make_tp_generate_fn, shard_modules
+
+    mods = random_modules(
+        jax.random.PRNGKey(0),
+        unet_cfg=TINY,
+        vae_cfg=VAEConfig(
+            in_channels=1, out_channels=1, block_out_channels=(8, 16),
+            layers_per_block=1, latent_channels=4, norm_num_groups=4,
+            scaling_factor=0.9,
+        ),
+        text_cfg=ClapTextConfig(
+            vocab_size=64, hidden_size=16, num_hidden_layers=1,
+            num_attention_heads=2, intermediate_size=32,
+            max_position_embeddings=40, projection_dim=8,
+        ),
+        vocoder_cfg=VocoderConfig(
+            model_in_dim=8, upsample_initial_channel=16, upsample_rates=(2, 2),
+            upsample_kernel_sizes=(4, 4), resblock_kernel_sizes=(3,),
+            resblock_dilation_sizes=((1, 3),), sampling_rate=16000,
+        ),
+        ddim_cfg=DDIMConfig(),
+    )
+    ids = jnp.full((1, 6), 5, jnp.int32).at[:, 0].set(0)
+    mask = jnp.ones((1, 6), jnp.int32)
+    u_ids = jnp.full((1, 6), 1, jnp.int32).at[:, 0].set(0)
+    u_mask = jnp.ones((1, 6), jnp.int32).at[:, 1:].set(0)
+    rng = jax.random.PRNGKey(7)
+    lora = init_lora(jax.random.PRNGKey(9), mods.unet, LoRAConfig(r=2, lora_alpha=4.0))
+    # non-zero B so the adapter actually perturbs the output
+    lora = jax.tree.map(lambda x: x + 0.05, lora)
+
+    kw = dict(num_inference_steps=2, audio_length_in_s=0.01, guidance_scale=2.5)
+    ref = generate(mods, ids, mask, u_ids, u_mask, rng, dtype=jnp.float32, **kw)
+    ref_lora = generate(mods, ids, mask, u_ids, u_mask, rng, dtype=jnp.float32, lora=lora, **kw)
+    assert np.max(np.abs(np.asarray(ref) - np.asarray(ref_lora))) > 1e-7
+
+    mesh = make_tp_mesh(4)
+    fn = make_tp_generate_fn(shard_modules(mesh, mods), mesh, dtype=jnp.float32, **kw)
+    out = fn(ids, mask, u_ids, u_mask, rng)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+    out_lora = fn(ids, mask, u_ids, u_mask, rng, lora=lora)
+    np.testing.assert_allclose(np.asarray(out_lora), np.asarray(ref_lora), atol=2e-5)
+
+
 def test_shard_unet_params_placement(params):
     mesh = make_tp_mesh(2)
     sharded = shard_unet_params(mesh, params)
