@@ -189,6 +189,98 @@ def shard_modules(mesh: Mesh, modules):
     )
 
 
+def make_tp_mesh_2d(dp: int, tp: int) -> Mesh:
+    """``(dp, tp)`` mesh for combined data/tensor-parallel training. The
+    ``tp`` axis should map to the fastest ICI dimension (adjacent devices):
+    its all-reduces run per layer, while ``dp``'s gradient psum runs once
+    per step."""
+    devices = np.asarray(jax.devices()[: dp * tp]).reshape(dp, tp)
+    return Mesh(devices, ("dp", "tp"))
+
+
+def module_shardings(mesh: Mesh, modules):
+    """NamedSharding pytree for an :class:`AudioLDMModules` bundle: UNet per
+    :func:`unet_tp_specs` on the mesh's ``tp`` axis, the rest replicated."""
+    repl = lambda tree: jax.tree.map(lambda _: NamedSharding(mesh, P()), tree)
+    return modules._replace(
+        unet=jax.tree.map(
+            lambda s: NamedSharding(mesh, s),
+            unet_tp_specs(modules.unet, mesh.shape["tp"]),
+        ),
+        vae=repl(modules.vae),
+        text_encoder=repl(modules.text_encoder),
+        vocoder=repl(modules.vocoder),
+    )
+
+
+def make_tp_train_step(
+    modules,
+    optimizer,
+    lora_cfg,
+    mesh: Mesh,
+    dtype=None,
+    remat: bool = False,
+):
+    """LoRA train step on a 2-D ``(dp, tp)`` mesh — combined throughput and
+    model scaling beyond the reference's DP-only accelerate setup.
+
+    ``modules`` must be placed with :func:`shard_modules` on the same mesh
+    (the geglu kernels are column-permuted for the interleaved FF split —
+    in_shardings alone cannot express that layout change). Batch shards
+    over ``dp``; the UNet's attention/FF shard over ``tp``; LoRA adapters
+    and optimizer state replicate (rank-r trees are tiny, and their deltas
+    add to column-sharded projections as local slices). XLA emits the
+    per-layer tp all-reduces and the once-per-step dp gradient psum on ICI.
+
+    Same contract as ``train.trainer.make_train_step``'s product:
+    ``fn(state, batch, rng) -> (state, metrics)``; global-batch semantics
+    identical to the single-device step (equality-tested in
+    tests/test_tp.py and dryrun phase 7)."""
+    import optax
+
+    import jax.numpy as jnp
+
+    from audioldm_tpu.train.trainer import TrainState, lora_loss_fn
+
+    if dtype is None:
+        dtype = jnp.float32
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("dp"))  # prefix spec: every batch leaf
+    mod_shardings = module_shardings(mesh, modules)
+
+    def step_fn(mods, state, batch, rng):
+        def loss_for(lora, mb, key):
+            return lora_loss_fn(lora, mods, mb, key, lora_cfg.scale, dtype, remat=remat)
+
+        (loss, metrics), grads = jax.value_and_grad(loss_for, has_aux=True)(
+            state.lora, batch, rng
+        )
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.lora)
+        lora = optax.apply_updates(state.lora, updates)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return TrainState(lora, opt_state, state.step + 1), metrics
+
+    jitted = jax.jit(
+        step_fn,
+        in_shardings=(mod_shardings, repl, data, repl),
+        out_shardings=(repl, repl),
+    )
+
+    def fn(state, batch, rng):
+        from audioldm_tpu.kernels import flash_enabled, use_flash_attention
+        from audioldm_tpu.models import nn
+
+        prev_flash = flash_enabled()
+        use_flash_attention(False)
+        try:
+            with nn.qkv_fusion(False), nn.ff_tp(mesh.shape["tp"]):
+                return jitted(modules, state, batch, rng)
+        finally:
+            use_flash_attention(prev_flash)
+
+    return fn
+
+
 def make_tp_generate_fn(
     modules,
     mesh: Mesh,

@@ -158,21 +158,11 @@ def test_tp_hlo_contains_all_reduce(params):
     assert "all-reduce" in txt
 
 
-def test_tp_generate_matches_single_device(params):
-    # full pipeline (text -> denoise scan -> VAE -> vocoder) under TP ==
-    # the single-device path, with and without a replicated LoRA tree
-    from audioldm_tpu.config import (
-        ClapTextConfig,
-        DDIMConfig,
-        LoRAConfig,
-        VAEConfig,
-        VocoderConfig,
-    )
-    from audioldm_tpu.lora import init_lora
-    from audioldm_tpu.pipeline.generate import generate, random_modules
-    from audioldm_tpu.parallel import make_tp_generate_fn, shard_modules
+def _tiny_modules():
+    from audioldm_tpu.config import ClapTextConfig, DDIMConfig, VAEConfig, VocoderConfig
+    from audioldm_tpu.pipeline.generate import random_modules
 
-    mods = random_modules(
+    return random_modules(
         jax.random.PRNGKey(0),
         unet_cfg=TINY,
         vae_cfg=VAEConfig(
@@ -192,6 +182,17 @@ def test_tp_generate_matches_single_device(params):
         ),
         ddim_cfg=DDIMConfig(),
     )
+
+
+def test_tp_generate_matches_single_device(params):
+    # full pipeline (text -> denoise scan -> VAE -> vocoder) under TP ==
+    # the single-device path, with and without a replicated LoRA tree
+    from audioldm_tpu.config import LoRAConfig
+    from audioldm_tpu.lora import init_lora
+    from audioldm_tpu.pipeline.generate import generate
+    from audioldm_tpu.parallel import make_tp_generate_fn, shard_modules
+
+    mods = _tiny_modules()
     ids = jnp.full((1, 6), 5, jnp.int32).at[:, 0].set(0)
     mask = jnp.ones((1, 6), jnp.int32)
     u_ids = jnp.full((1, 6), 1, jnp.int32).at[:, 0].set(0)
@@ -212,6 +213,47 @@ def test_tp_generate_matches_single_device(params):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
     out_lora = fn(ids, mask, u_ids, u_mask, rng, lora=lora)
     np.testing.assert_allclose(np.asarray(out_lora), np.asarray(ref_lora), atol=2e-5)
+
+
+def test_tp_train_step_matches_single_device(params):
+    # one LoRA train step on a 2x2 (dp, tp) mesh == the single-device step:
+    # same loss, same updated adapters (global-batch semantics preserved)
+    import optax
+
+    from audioldm_tpu.config import LoRAConfig
+    from audioldm_tpu.lora import init_lora
+    from audioldm_tpu.parallel import make_tp_mesh_2d, make_tp_train_step, shard_modules
+    from audioldm_tpu.train.trainer import init_train_state, make_train_step
+
+    mods = _tiny_modules()
+    lcfg = LoRAConfig(r=2, lora_alpha=4.0)
+    lora = init_lora(jax.random.PRNGKey(1), mods.unet, lcfg)
+    opt = optax.adamw(1e-3)
+    batch = {
+        "log_mel_spec": jax.random.normal(jax.random.PRNGKey(2), (4, 16, 8, 1), jnp.float32),
+        "input_ids": jnp.full((4, 6), 5, jnp.int32).at[:, 0].set(0),
+        "attention_mask": jnp.ones((4, 6), jnp.int32),
+    }
+    rng = jax.random.PRNGKey(3)
+
+    ref_step = make_train_step(mods, opt, lcfg)
+    ref_state, ref_m = ref_step(init_train_state(lora, opt), batch, rng)
+
+    mesh = make_tp_mesh_2d(2, 2)
+    tp_step = make_tp_train_step(shard_modules(mesh, mods), opt, lcfg, mesh)
+    tp_state, tp_m = tp_step(init_train_state(lora, opt), batch, rng)
+
+    np.testing.assert_allclose(float(tp_m["loss"]), float(ref_m["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(
+        float(tp_m["grad_norm"]), float(ref_m["grad_norm"]), rtol=1e-4
+    )
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_flatten_with_path(tp_state.lora)[0],
+        jax.tree_util.tree_flatten_with_path(ref_state.lora)[0],
+    ):
+        assert pa == pb
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, err_msg=str(pa))
+    assert int(tp_state.step) == 1
 
 
 def test_shard_unet_params_placement(params):
