@@ -50,14 +50,22 @@ class Tok:
 
 
 def full_modules():
+    # fused-draw random weights: tiny init program vs the 320 s-cold-compile
+    # per-leaf init graph (see audioldm_tpu/utils/fastinit.py)
+    from audioldm_tpu.utils.fastinit import random_params_like, shapes_of
+
+    sh_unet = shapes_of(init_unet, UNetConfig())
+    sh_vae = shapes_of(init_vae, VAEConfig())
+    sh_text = shapes_of(init_clap_text, ClapTextConfig())
+    sh_voc = shapes_of(init_vocoder, VocoderConfig())
+
     def _init(key):
         ks = jax.random.split(key, 4)
-        bf16 = lambda t: jax.tree.map(lambda x: x.astype(jnp.bfloat16), t)
         return (
-            bf16(init_unet(ks[0], UNetConfig())),
-            bf16(init_vae(ks[1], VAEConfig())),
-            init_clap_text(ks[2], ClapTextConfig()),
-            init_vocoder(ks[3], VocoderConfig()),
+            random_params_like(ks[0], sh_unet, dtype=jnp.bfloat16),
+            random_params_like(ks[1], sh_vae, dtype=jnp.bfloat16),
+            random_params_like(ks[2], sh_text),
+            random_params_like(ks[3], sh_voc),
         )
 
     t0 = time.perf_counter()

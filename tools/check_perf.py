@@ -38,7 +38,10 @@ def bench_unet_step() -> float:
 
     use_flash_attention(True)
     cfg = UNetConfig()
-    params = jax.jit(lambda k: jax.tree.map(lambda x: x.astype(jnp.bfloat16), init_unet(k, cfg)))(
+    from audioldm_tpu.utils.fastinit import random_params_like, shapes_of
+
+    sh = shapes_of(init_unet, cfg)
+    params = jax.jit(lambda k: random_params_like(k, sh, dtype=jnp.bfloat16))(
         jax.random.PRNGKey(0)
     )
     jax.block_until_ready(params)
