@@ -59,9 +59,10 @@ def cmd_generate(args):
     from audioldm_tpu.pipeline.generate import AudioLDMModules, make_generate_fn
 
     if jax.devices()[0].platform == "tpu":
-        from audioldm_tpu.kernels import use_flash_attention
+        from audioldm_tpu.kernels import use_flash_attention, use_fused_mrf
 
         use_flash_attention(True)  # 1.7x faster sampling on TPU (PERF.md)
+        use_fused_mrf(True)  # fused vocoder MRF stages, -18% vocoder (PERF.md)
 
     modules = AudioLDMModules.from_checkpoint(args.checkpoint)
     if args.lora:
@@ -166,9 +167,10 @@ def cmd_train(args):
         tcfg = _dc.replace(tcfg, train_batch_size=args.batch_size)
 
     if jax.devices()[0].platform == "tpu":
-        from audioldm_tpu.kernels import use_flash_attention
+        from audioldm_tpu.kernels import use_flash_attention, use_fused_mrf
 
         use_flash_attention(True)  # 1.8x faster training step on TPU (PERF.md)
+        use_fused_mrf(True)  # fused vocoder MRF in the validation generator
 
     modules = AudioLDMModules.from_checkpoint(args.checkpoint)
     tokenizer = load_tokenizer(os.path.join(args.checkpoint, "tokenizer"))
@@ -351,9 +353,10 @@ def cmd_distill(args):
     w = tuple(float(x) for x in args.w.split(",")) if "," in args.w else float(args.w)
 
     if jax.devices()[0].platform == "tpu":
-        from audioldm_tpu.kernels import use_flash_attention
+        from audioldm_tpu.kernels import use_flash_attention, use_fused_mrf
 
         use_flash_attention(True)
+        use_fused_mrf(True)
 
     modules = AudioLDMModules.from_checkpoint(args.checkpoint)
     tokenizer = load_tokenizer(os.path.join(args.checkpoint, "tokenizer"))
@@ -453,9 +456,10 @@ def cmd_serve(args):
     from audioldm_tpu.serve import AdapterBank, ServeEngine
 
     if jax.devices()[0].platform == "tpu":
-        from audioldm_tpu.kernels import use_flash_attention
+        from audioldm_tpu.kernels import use_flash_attention, use_fused_mrf
 
         use_flash_attention(True)
+        use_fused_mrf(True)
 
     modules = AudioLDMModules.from_checkpoint(args.checkpoint)
     tokenizer = load_tokenizer(os.path.join(args.checkpoint, "tokenizer"))

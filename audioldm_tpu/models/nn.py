@@ -169,41 +169,55 @@ def conv1d(
     padding: int = 0,
     dilation: int = 1,
     groups: int = 1,
+    channel_major: bool = False,
 ) -> jnp.ndarray:
-    """NWC conv1d with torch-style symmetric integer padding."""
+    """NWC conv1d with torch-style symmetric integer padding.
+    ``channel_major=True`` accepts/returns ``[B, C, T]`` ("NCW") — see
+    conv_transpose1d."""
+    dims = "NCW" if channel_major else "NWC"
     y = jax.lax.conv_general_dilated(
         x,
         p["kernel"].astype(x.dtype),
         window_strides=(stride,),
         padding=[(padding, padding)],
         rhs_dilation=(dilation,),
-        dimension_numbers=("NWC", "WIO", "NWC"),
+        dimension_numbers=(dims, "WIO", dims),
         feature_group_count=groups,
     )
     if "bias" in p:
-        y = y + p["bias"].astype(x.dtype)
+        b = p["bias"].astype(x.dtype)
+        y = y + (b[:, None] if channel_major else b)
     return y
 
 
-def conv_transpose1d(p: dict, x: jnp.ndarray, stride: int, padding: int) -> jnp.ndarray:
+def conv_transpose1d(
+    p: dict, x: jnp.ndarray, stride: int, padding: int, channel_major: bool = False
+) -> jnp.ndarray:
     """NWC transposed conv matching ``torch.nn.ConvTranspose1d(stride,
     padding)``. Kernel stored ``WIO`` with I=in_ch, O=out_ch (torch's IOW is
     transposed at load). Implemented as lhs-dilated conv: insert (stride-1)
     zeros between inputs, flip the kernel, swap I/O, and crop
-    ``kernel_size - 1 - padding`` from each side."""
+    ``kernel_size - 1 - padding`` from each side.
+
+    ``channel_major=True`` runs the same conv on ``[B, C, T]`` activations
+    ("NCW") — used by the vocoder's fused-MRF tail where the Pallas stage
+    kernel keeps channels on sublanes (measured: NCW conv_transpose is also
+    ~18% faster than NWC at the late-stage shapes, tools notes in PERF.md)."""
     k = p["kernel"].astype(x.dtype)  # [W, I, O]
     kw = k.shape[0]
     pad = kw - 1 - padding
+    dims = "NCW" if channel_major else "NWC"
     y = jax.lax.conv_general_dilated(
         x,
         jnp.flip(k, axis=0),
         window_strides=(1,),
         padding=[(pad, pad)],
         lhs_dilation=(stride,),
-        dimension_numbers=("NWC", "WIO", "NWC"),
+        dimension_numbers=(dims, "WIO", dims),
     )
     if "bias" in p:
-        y = y + p["bias"].astype(x.dtype)
+        b = p["bias"].astype(x.dtype)
+        y = y + (b[:, None] if channel_major else b)
     return y
 
 

@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from audioldm_tpu.config import VocoderConfig
+from audioldm_tpu.kernels import mrf_conv
 from audioldm_tpu.models.nn import conv1d, conv_transpose1d, init_conv1d
 
 
@@ -90,15 +91,58 @@ def apply_vocoder(params: dict, cfg: VocoderConfig, spectrogram: jnp.ndarray, dt
         params = jax.tree.map(lambda w: w.astype(dtype), params)
     num_kernels = len(cfg.resblock_kernel_sizes)
     h = conv1d(params["conv_pre"], x, padding=3)
+
+    # Fused Pallas MRF routing (kernels/mrf_conv.py): the first stage index
+    # from which EVERY remaining stage is kernel-supported switches the tail
+    # into channel-major [B, C, T] — one entry transpose, then the upsampler
+    # conv_transpose, the fused stages, and conv_post all run NCW (measured
+    # faster than NWC at these shapes, and it avoids ~0.9 ms of layout
+    # transposes per stage boundary — PERF.md vocoder notes).
+    route_from = None
+    if mrf_conv.enabled() and dtype is None:
+        tt = h.shape[1]
+        lens, chans = [], []
+        for i, (rate, ksize) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
+            tt = (tt - 1) * rate - 2 * ((ksize - rate) // 2) + ksize
+            lens.append(tt)
+            chans.append(cfg.upsample_initial_channel // (2 ** (i + 1)))
+        n = len(lens)
+        for i in range(n):
+            if all(mrf_conv.supported(lens[j], chans[j], jnp.float32) for j in range(i, n)):
+                route_from = i
+                break
+
+    cm = False  # channel-major tail active?
     for i, (rate, ksize) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
         h = _leaky(h, cfg.leaky_relu_slope)
-        h = conv_transpose1d(params["upsampler"][str(i)], h, stride=rate, padding=(ksize - rate) // 2)
-        acc = None
-        for j, (k, dil) in enumerate(zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes)):
-            r = _apply_resblock(params["resblocks"][str(i * num_kernels + j)], h, k, dil, cfg.leaky_relu_slope)
-            acc = r if acc is None else acc + r
-        h = acc / num_kernels
+        if route_from is not None and i == route_from:
+            h = jnp.transpose(h, (0, 2, 1))
+            cm = True
+        h = conv_transpose1d(
+            params["upsampler"][str(i)], h, stride=rate,
+            padding=(ksize - rate) // 2, channel_major=cm,
+        )
+        blocks = [params["resblocks"][str(i * num_kernels + j)] for j in range(num_kernels)]
+        if cm:
+            # whole 18-conv residual stack VMEM-resident in one program
+            # (parity tested vs this file's jnp path in tests/test_mrf_conv.py)
+            h = mrf_conv.fused_mrf_stage(
+                h,
+                blocks,
+                kernel_sizes=tuple(cfg.resblock_kernel_sizes),
+                dilations=tuple(tuple(d) for d in cfg.resblock_dilation_sizes),
+                slope=cfg.leaky_relu_slope,
+                interpret=jax.default_backend() != "tpu",
+                channel_major=True,
+            )
+        else:
+            acc = None
+            for blk, k, dil in zip(blocks, cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes):
+                r = _apply_resblock(blk, h, k, dil, cfg.leaky_relu_slope)
+                acc = r if acc is None else acc + r
+            h = acc / num_kernels
     h = _leaky(h.astype(jnp.float32), 0.01)  # torch leaky_relu default slope on the output stage
-    h = conv1d(jax.tree.map(lambda w: w.astype(jnp.float32), conv_post), h, padding=3)
+    conv_post_f32 = jax.tree.map(lambda w: w.astype(jnp.float32), conv_post)
+    h = conv1d(conv_post_f32, h, padding=3, channel_major=cm)
     h = jnp.tanh(h)
-    return h[..., 0]
+    return h[:, 0, :] if cm else h[..., 0]

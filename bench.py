@@ -40,12 +40,14 @@ if os.environ.get("AUDIOLDM_BENCH_CACHE") == "1":
 
 
 def main():
-    from audioldm_tpu.kernels import use_flash_attention
+    from audioldm_tpu.kernels import use_flash_attention, use_fused_mrf
     from audioldm_tpu.pipeline.generate import make_generate_fn
 
     # Pallas flash attention: 8x faster than XLA attention at the UNet's
     # level-0 shape ([2,8,4096,16]) on v5e; ~16% off the whole UNet step.
     use_flash_attention(True)
+    # Pallas fused vocoder MRF stages: -18% vocoder time (PERF.md)
+    use_fused_mrf(True)
 
     steps = 50
     seconds = 10.24

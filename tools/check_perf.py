@@ -59,6 +59,9 @@ def bench_pipeline() -> float:
     from tools.bench_serving import full_modules  # ONE init/module recipe for all tools
 
     use_flash_attention(True)
+    from audioldm_tpu.kernels import use_fused_mrf
+
+    use_fused_mrf(True)
     modules = full_modules()
     fn = make_generate_fn(modules, num_inference_steps=50, audio_length_in_s=10.24,
                           guidance_scale=2.5, dtype=jnp.bfloat16)

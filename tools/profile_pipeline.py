@@ -44,6 +44,9 @@ def main():
     from audioldm_tpu.pipeline.generate import AudioLDMModules, make_generate_fn
 
     use_flash_attention(True)
+    from audioldm_tpu.kernels import use_fused_mrf
+
+    use_fused_mrf(True)
 
     def _init(key):
         ks = jax.random.split(key, 4)
