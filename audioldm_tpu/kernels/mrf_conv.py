@@ -117,11 +117,21 @@ def _conv_cmajor(v, w, b, k: int, dil: int, interpret: bool):
     return acc + b
 
 
-def _mrf_kernel(x_hbm, *refs, kernel_sizes, dilations, slope, block_t, t_total, interpret):
+def _mrf_kernel(
+    x_hbm, *refs, kernel_sizes, dilations, slope, block_t, t_total, interpret, post_k
+):
     """One (b, t-block) grid step: DMA the haloed [C, L] window, run the
-    resblock chains in VMEM, write the center block of the averaged output."""
+    resblock chains in VMEM, write the center block of the averaged output.
+
+    ``post_k > 0`` fuses the vocoder's output head into the epilogue:
+    leaky(0.01) → k-tap conv to ONE channel → tanh, writing the waveform
+    block [1, block_t] directly (saves the 1.7 ms XLA conv_post AND the
+    last stage's 2×21 MB HBM round-trip)."""
     nj = len(kernel_sizes)
-    w_refs, o_ref, xloc, sem = refs[: 4 * nj], refs[4 * nj], refs[4 * nj + 1], refs[4 * nj + 2]
+    npost = 2 if post_k else 0
+    w_refs = refs[: 4 * nj]
+    post_refs = refs[4 * nj : 4 * nj + npost]
+    o_ref, xloc, sem = refs[4 * nj + npost], refs[4 * nj + npost + 1], refs[4 * nj + npost + 2]
     b_idx = pl.program_id(0)
     t_idx = pl.program_id(1)
     nb, nt = pl.num_programs(0), pl.num_programs(1)
@@ -164,7 +174,23 @@ def _mrf_kernel(x_hbm, *refs, kernel_sizes, dilations, slope, block_t, t_total, 
             v = v + jnp.where(mask, h, 0.0)
         acc = v if acc is None else acc + v
 
-    o_ref[0] = (acc * (1.0 / nj))[:, _HALO : _HALO + block_t]
+    out = acc * (1.0 / nj)
+    if post_k:
+        wp, bp = post_refs  # [k_post, C, 1], [1, 1]
+        v = _leaky(out, 0.01)  # torch leaky_relu default slope on the head
+        roll = jnp.roll if interpret else pltpu.roll
+        pad = (post_k - 1) // 2
+        accp = None
+        for i in range(post_k):
+            s = i - pad
+            vi = v if s == 0 else roll(v, (l - s) % l, 1)
+            term = vi * wp[i]  # [C, L]
+            accp = term if accp is None else accp + term
+        # Σ_taps Σ_c = Σ_c Σ_taps: ONE cross-sublane reduce instead of k
+        wav = jnp.sum(accp, axis=0, keepdims=True)  # [1, L]
+        out = jnp.tanh(wav + bp[:])  # [1,1] broadcasts over lanes
+
+    o_ref[0] = out[:, _HALO : _HALO + block_t]
 
 
 def _pack(block: dict, k: int, c: int):
@@ -191,6 +217,7 @@ def _pack(block: dict, k: int, c: int):
 def fused_mrf_stage(
     x: jnp.ndarray,
     blocks,
+    post=None,
     *,
     kernel_sizes=(3, 7, 11),
     dilations=((1, 3, 5), (1, 3, 5), (1, 3, 5)),
@@ -203,7 +230,11 @@ def fused_mrf_stage(
     skips the entry/exit transposes, ~0.9 ms each at the last-stage shape);
     ``blocks``: list (len = len(kernel_sizes)) of vocoder resblock param
     dicts. Returns ``mean_j resblock_j(x)`` in the same layout — exactly
-    ``models.vocoder._apply_resblock`` averaged, as one Pallas program."""
+    ``models.vocoder._apply_resblock`` averaged, as one Pallas program.
+
+    ``post``: optional conv_post param dict ({"kernel": [k, C, 1], "bias"?})
+    — fuses ``tanh(conv_post(leaky_0.01(·)))`` into the epilogue and returns
+    the waveform with output-channel dim 1 instead of the stage tensor."""
     if channel_major:
         bsz, c, t = x.shape
     else:
@@ -223,7 +254,14 @@ def fused_mrf_stage(
     packed = []
     for blk, k in zip(blocks, kernel_sizes):
         packed.extend(_pack(blk, k, c))
+    post_k = 0
+    if post is not None:
+        post_k = int(post["kernel"].shape[0])
+        wp = post["kernel"].astype(jnp.float32)  # [k_post, C, 1]
+        bp = post.get("bias", jnp.zeros((1,), jnp.float32)).astype(jnp.float32)
+        packed.extend([wp, bp.reshape(1, 1)])
 
+    c_out = 1 if post_k else c
     kern = functools.partial(
         _mrf_kernel,
         kernel_sizes=tuple(kernel_sizes),
@@ -232,6 +270,7 @@ def fused_mrf_stage(
         block_t=block_t,
         t_total=t,
         interpret=interpret,
+        post_k=post_k,
     )
     y = pl.pallas_call(
         kern,
@@ -239,9 +278,9 @@ def fused_mrf_stage(
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
         + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in packed],
         out_specs=pl.BlockSpec(
-            (1, c, block_t), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM
+            (1, c_out, block_t), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((bsz, c, padded_t), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((bsz, c_out, padded_t), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((2, c, l), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),

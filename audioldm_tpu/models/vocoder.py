@@ -123,18 +123,24 @@ def apply_vocoder(params: dict, cfg: VocoderConfig, spectrogram: jnp.ndarray, dt
             padding=(ksize - rate) // 2, channel_major=cm,
         )
         blocks = [params["resblocks"][str(i * num_kernels + j)] for j in range(num_kernels)]
+        last = i == len(cfg.upsample_rates) - 1
         if cm:
-            # whole 18-conv residual stack VMEM-resident in one program
-            # (parity tested vs this file's jnp path in tests/test_mrf_conv.py)
+            # whole 18-conv residual stack VMEM-resident in one program; the
+            # LAST stage also fuses leaky(0.01)+conv_post+tanh into its
+            # epilogue and emits the waveform directly (parity tested vs
+            # this file's jnp path in tests/test_mrf_conv.py)
             h = mrf_conv.fused_mrf_stage(
                 h,
                 blocks,
+                post=jax.tree.map(lambda w: w.astype(jnp.float32), conv_post) if last else None,
                 kernel_sizes=tuple(cfg.resblock_kernel_sizes),
                 dilations=tuple(tuple(d) for d in cfg.resblock_dilation_sizes),
                 slope=cfg.leaky_relu_slope,
                 interpret=jax.default_backend() != "tpu",
                 channel_major=True,
             )
+            if last:
+                return h[:, 0, :]  # tanh'd waveform from the fused epilogue
         else:
             acc = None
             for blk, k, dil in zip(blocks, cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes):
@@ -142,7 +148,6 @@ def apply_vocoder(params: dict, cfg: VocoderConfig, spectrogram: jnp.ndarray, dt
                 acc = r if acc is None else acc + r
             h = acc / num_kernels
     h = _leaky(h.astype(jnp.float32), 0.01)  # torch leaky_relu default slope on the output stage
-    conv_post_f32 = jax.tree.map(lambda w: w.astype(jnp.float32), conv_post)
-    h = conv1d(conv_post_f32, h, padding=3, channel_major=cm)
+    h = conv1d(jax.tree.map(lambda w: w.astype(jnp.float32), conv_post), h, padding=3)
     h = jnp.tanh(h)
-    return h[:, 0, :] if cm else h[..., 0]
+    return h[..., 0]

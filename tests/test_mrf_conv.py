@@ -66,6 +66,29 @@ def test_fused_stage_small_kernels():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=2e-5)
 
 
+def test_fused_post_epilogue():
+    # last-stage fusion: leaky(0.01) -> conv_post -> tanh inside the kernel
+    from audioldm_tpu.models.nn import conv1d, init_conv1d
+
+    kernel_sizes = (3, 7, 11)
+    dilations = ((1, 3, 5),) * 3
+    c = 8
+    blocks = _random_blocks(jax.random.PRNGKey(4), c, kernel_sizes, dilations)
+    post = init_conv1d(jax.random.PRNGKey(5), c, 1, 7)
+    x = jax.random.normal(jax.random.PRNGKey(6), (2, 300, c), jnp.float32)
+
+    stage = _jnp_stage(blocks, x, kernel_sizes, dilations, 0.1)
+    lk = jnp.where(stage >= 0, stage, stage * 0.01)
+    ref = jnp.tanh(conv1d(post, lk, padding=3))  # [B, T, 1]
+
+    got = mrf_conv.fused_mrf_stage(
+        x, blocks, post=post, kernel_sizes=kernel_sizes, dilations=dilations,
+        slope=0.1, block_t=128, interpret=True,
+    )
+    assert got.shape == (2, 300, 1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
 def test_supported_gate():
     # REAL stage lengths (conv_transpose emits k-stride extras: 163872, 81936)
     assert mrf_conv.supported(163872, 32, jnp.float32)
