@@ -52,6 +52,15 @@ def set_min_tokens(n: int):
 
 _ENABLED = False
 
+# Single-kv-block "one-pass" forward variant: strips the running-max/rescale
+# state and rides the softmax denominator on the AV matmul via a ones column
+# in v's padding. MEASURED NEGATIVE on v5e (UNet step 13.65 -> 14.03-14.19
+# ms; L0 micro 0.92 vs 0.84-0.92 streaming): the kernel is exp2-bound, the
+# removed lane-reduce was cheap, and the ones-column write adds ~8 MB of HBM
+# traffic per call. Kept behind this flag for re-evaluation on other
+# hardware; tests pin its numerics either way (test_flash_attention.py).
+_ONE_PASS = False
+
 
 def use_flash_attention(enabled: bool = True):
     """Globally route models.nn.sdpa through the Pallas kernel."""
@@ -102,21 +111,50 @@ def _flash_kernel_nolse(q_ref, k_ref, v_ref, o_ref, m_s, l_s, acc_s, *, nkv: int
     _flash_kernel(q_ref, k_ref, v_ref, o_ref, None, m_s, l_s, acc_s, nkv=nkv)
 
 
+def _flash_kernel_one(q_ref, k_ref, v_ref, o_ref, *, sum_col: int):
+    """Single-kv-block inference fast path (nkv == 1 — the UNet level-0
+    case: block_k 4096 covers the whole sequence).
+
+    The kernel is VPU-bound, not MXU-bound (exp2 + lane reductions over the
+    [bq, bk] logits dominate; the padded matmuls are ~256 passes/step), so
+    this variant strips VPU work: no running-max/rescale state, and the
+    softmax DENOMINATOR rides the AV matmul for free — the wrapper sets one
+    zero-pad column of v (index ``sum_col`` = real head_dim) to ONES, so
+    output column ``sum_col`` IS rowsum(p); the lane-reduction for l
+    disappears. Measured vs the streaming kernel at [2,8,4096,16]: see
+    PERF.md round-3 attention notes."""
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)  # [bq, bk] fp32
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp2(s - m)
+    o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    l = o[:, sum_col : sum_col + 1]  # rowsum(p), from the ones column
+    o_ref[0] = (o / l).astype(o_ref.dtype)
+
+
 def _flash_bh(
     q2: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, interpret: bool,
     block_q: int = _BLOCK_Q, block_k: int = _BLOCK_K, with_lse: bool = True,
+    sum_col: int | None = None,
 ):
     """q2 [BH, N, D] PRE-SCALED by scale*log2e, k/v [BH, M, D] with D
     lane-aligned. Returns (out, lse2) with ``with_lse`` (training: lse2 is
     the base-2 logsumexp residual) or just ``out`` without (inference:
-    skips a [BH, N, 128] fp32 HBM store per call)."""
+    skips a [BH, N, 128] fp32 HBM store per call). ``sum_col``: index of
+    v's ones column (set by _pad_reshape when head_dim < lane width) —
+    enables the single-kv-block fast path."""
     bh, n, d = q2.shape
     m = k.shape[1]
     block_q = min(block_q, n)
     block_k = min(block_k, m)
     nkv = m // block_k
     grid = (bh, n // block_q, nkv)
-    if with_lse:
+    one_pass = nkv == 1 and not with_lse and sum_col is not None
+    if one_pass:
+        kernel = functools.partial(_flash_kernel_one, sum_col=sum_col)
+    elif with_lse:
         kernel = functools.partial(_flash_kernel, nkv=nkv)
     else:
         kernel = functools.partial(_flash_kernel_nolse, nkv=nkv)
@@ -138,7 +176,7 @@ def _flash_bh(
         ],
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[
+        scratch_shapes=[] if one_pass else [
             pltpu.VMEM((block_q, _LANE), jnp.float32),
             pltpu.VMEM((block_q, _LANE), jnp.float32),
             pltpu.VMEM((block_q, _LANE), jnp.float32),
@@ -281,6 +319,13 @@ def _pad_reshape(q, k, v):
     if pad:
         padding = ((0, 0), (0, 0), (0, 0), (0, pad))
         q, k, v = (jnp.pad(t, padding) for t in (q, k, v))
+        if _ONE_PASS:
+            # ones column in v's zero padding: the AV matmul's output column
+            # d becomes rowsum(p) — the softmax denominator for free (used
+            # by the single-kv-block kernel). Harmless elsewhere: the column
+            # is sliced off the output, padded q/do columns are zero so
+            # every gradient contraction through it vanishes.
+            v = v.at[..., d].set(1.0)
     dp = d + pad
     q2 = (q.astype(jnp.float32) * (scale * _LOG2E)).astype(q.dtype)
     return (
@@ -296,6 +341,7 @@ def _flash_fwd_impl(q, k, v, interpret=False, block_q=None, block_k=None):
     out = _flash_bh(
         q2, kp, vp, interpret,
         block_q=block_q or _BLOCK_Q, block_k=block_k or _BLOCK_K, with_lse=False,
+        sum_col=d if (dp > d and _ONE_PASS) else None,
     )
     return out.reshape(b, h, n, dp)[..., :d]
 

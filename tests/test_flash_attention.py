@@ -21,6 +21,25 @@ def test_flash_matches_sdpa(shape, rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+def test_one_pass_bf16_denominator(rng, monkeypatch):
+    # single-kv-block one-pass variant (default OFF — measured negative on
+    # v5e, flash_attention.py _ONE_PASS note): the softmax denominator rides
+    # the bf16 AV matmul (ones column in v's padding) — must stay within
+    # bf16 tolerance of the fp32-reference softmax
+    import importlib
+
+    # the module (the bare attribute is shadowed by the re-exported function)
+    fa_mod = importlib.import_module("audioldm_tpu.kernels.flash_attention")
+    monkeypatch.setattr(fa_mod, "_ONE_PASS", True)
+    b, h, n, d = 1, 2, 512, 16
+    q = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.bfloat16)
+    ref = sdpa(q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32))
+    out = flash_attention(q, k, v, interpret=True).astype(jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-2, rtol=2e-2)
+
+
 def test_supported_routes_by_benefit():
     # flash wins only at the long level-0 sequences; XLA's fused attention
     # is already optimal below ~2048 tokens (device-pure v5e sweep)

@@ -27,7 +27,7 @@ from audioldm_tpu.config import (
     VAEConfig,
     VocoderConfig,
 )
-from audioldm_tpu.kernels import use_flash_attention
+from audioldm_tpu.kernels import use_flash_attention, use_fused_mrf
 from audioldm_tpu.lora import init_lora
 from audioldm_tpu.models.clap_text import init_clap_text
 from audioldm_tpu.models.unet import init_unet
@@ -81,6 +81,7 @@ def full_modules():
 
 def main():
     use_flash_attention(True)
+    use_fused_mrf(True)
     modules = full_modules()
     seconds = 10.24
 
@@ -140,6 +141,7 @@ if __name__ == "__main__" and not any(f in sys.argv for f in ("--sweep", "--hybr
 def batch_sweep():
     """Throughput vs batch size for uniform-adapter (merged-route) traffic."""
     use_flash_attention(True)
+    use_fused_mrf(True)
     modules = full_modules()
     lcfg = LoRAConfig(r=4, lora_alpha=4)
     adapter = jax.tree.map(
@@ -168,6 +170,7 @@ if __name__ == "__main__" and "--sweep" in sys.argv:
 def hybrid_sweep():
     """Mixed-adapter serving: rank-r vs hybrid dense (C<=128 densified)."""
     use_flash_attention(True)
+    use_fused_mrf(True)
     modules = full_modules()
     lcfg = LoRAConfig(r=4, lora_alpha=4)
     mk = lambda s: jax.tree.map(
@@ -199,6 +202,7 @@ def flush_overlap():
     """flush() throughput: overlapped dispatch (all chunks queued before the
     first fetch) vs a sequential fetch-between-chunks baseline (VERDICT r2 #6)."""
     use_flash_attention(True)
+    use_fused_mrf(True)
     modules = full_modules()
     lcfg = LoRAConfig(r=4, lora_alpha=4)
     adapter = jax.tree.map(
@@ -249,6 +253,7 @@ def lcm_latency():
     """Single-prompt latency of the LCM consistency sampler (no CFG, one
     UNet eval/step at batch 1) at 1/2/4/8 steps — the distilled fast path."""
     use_flash_attention(True)
+    use_fused_mrf(True)
     modules = full_modules()
     ids = jnp.full((1, 512), 5, jnp.int32).at[:, 0].set(0)
     mask = jnp.ones((1, 512), jnp.int32)
