@@ -99,7 +99,11 @@ def apply_vocoder(params: dict, cfg: VocoderConfig, spectrogram: jnp.ndarray, dt
     # faster than NWC at these shapes, and it avoids ~0.9 ms of layout
     # transposes per stage boundary — PERF.md vocoder notes).
     route_from = None
-    if mrf_conv.enabled() and dtype is None:
+    halo_ok = (
+        mrf_conv._receptive_halo(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes)
+        <= mrf_conv._HALO
+    )
+    if mrf_conv.enabled() and dtype is None and halo_ok:
         tt = h.shape[1]
         lens, chans = [], []
         for i, (rate, ksize) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
