@@ -390,10 +390,12 @@ _flash_jits: dict = {}
 
 
 def _flash_jit_for_current_config():
-    bk = _BWD_BLOCK_K
-    if bk not in _flash_jits:
-        _flash_jits[bk] = jax.jit(_flash)
-    return _flash_jits[bk]
+    # keyed by every module-level knob the trace bakes in — a stale entry
+    # would silently ignore live flag flips (see the _BWD_BLOCK_K note above)
+    key = (_BWD_BLOCK_K, _ONE_PASS)
+    if key not in _flash_jits:
+        _flash_jits[key] = jax.jit(_flash)
+    return _flash_jits[key]
 
 
 def flash_attention(

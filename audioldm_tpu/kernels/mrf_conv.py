@@ -241,7 +241,8 @@ def fused_mrf_stage(
         bsz, t, c = x.shape
     if block_t is None:
         block_t = pick_block_t(t, c)
-    assert _receptive_halo(kernel_sizes, dilations) <= _HALO, "halo too small"
+    post_halo = (int(post["kernel"].shape[0]) - 1) // 2 if post is not None else 0
+    assert _receptive_halo(kernel_sizes, dilations) + post_halo <= _HALO, "halo too small"
     l = block_t + 2 * _HALO
     padded_t = -(-t // block_t) * block_t  # ragged tail -> pad + slice below
 

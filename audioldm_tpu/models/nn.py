@@ -169,24 +169,19 @@ def conv1d(
     padding: int = 0,
     dilation: int = 1,
     groups: int = 1,
-    channel_major: bool = False,
 ) -> jnp.ndarray:
-    """NWC conv1d with torch-style symmetric integer padding.
-    ``channel_major=True`` accepts/returns ``[B, C, T]`` ("NCW") — see
-    conv_transpose1d."""
-    dims = "NCW" if channel_major else "NWC"
+    """NWC conv1d with torch-style symmetric integer padding."""
     y = jax.lax.conv_general_dilated(
         x,
         p["kernel"].astype(x.dtype),
         window_strides=(stride,),
         padding=[(padding, padding)],
         rhs_dilation=(dilation,),
-        dimension_numbers=(dims, "WIO", dims),
+        dimension_numbers=("NWC", "WIO", "NWC"),
         feature_group_count=groups,
     )
     if "bias" in p:
-        b = p["bias"].astype(x.dtype)
-        y = y + (b[:, None] if channel_major else b)
+        y = y + p["bias"].astype(x.dtype)
     return y
 
 

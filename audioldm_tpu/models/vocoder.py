@@ -99,8 +99,12 @@ def apply_vocoder(params: dict, cfg: VocoderConfig, spectrogram: jnp.ndarray, dt
     # faster than NWC at these shapes, and it avoids ~0.9 ms of layout
     # transposes per stage boundary — PERF.md vocoder notes).
     route_from = None
+    # +conv_post taps: the last fused stage runs the output head in its
+    # epilogue, extending the receptive field the halo must absorb
+    post_halo = (conv_post["kernel"].shape[0] - 1) // 2
     halo_ok = (
         mrf_conv._receptive_halo(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes)
+        + post_halo
         <= mrf_conv._HALO
     )
     if mrf_conv.enabled() and dtype is None and halo_ok:

@@ -330,7 +330,7 @@ def make_tp_generate_fn(
         return vocode(mods, mel, voc_samples)
 
     def fn(input_ids, attention_mask, uncond_ids, uncond_mask, rng, lora=None):
-        from audioldm_tpu.kernels import flash_enabled, use_flash_attention
+        from audioldm_tpu.kernels import flash_enabled, mrf_conv, use_flash_attention
         from audioldm_tpu.models import nn
 
         args = tuple(
@@ -340,12 +340,17 @@ def make_tp_generate_fn(
         if lora is not None:
             lora = jax.tree.map(lambda x: jax.device_put(x, repl), lora)
         prev_flash = flash_enabled()
+        prev_mrf = mrf_conv.enabled()
+        # Pallas kernels (flash, fused MRF) have no GSPMD partitioning rules
+        # — both must be off while tracing programs over the tp mesh
         use_flash_attention(False)
+        mrf_conv.use_fused_mrf(False)
         try:
             with nn.qkv_fusion(False), nn.ff_tp(mesh.shape["tp"]):
                 mel = fn_mel(modules, *args, lora)
                 return fn_voc(modules, mel)
         finally:
             use_flash_attention(prev_flash)
+            mrf_conv.use_fused_mrf(prev_mrf)
 
     return fn

@@ -60,7 +60,9 @@ def main():
     ap.add_argument("--max-channels", type=int, default=0, help="override routing gate")
     args = ap.parse_args()
     if args.block_t:
-        mrf_conv._BLOCK_T_CANDIDATES = (args.block_t,)
+        # force the exact block size, bypassing the VMEM cap — a sweep wants
+        # the attempt (and its OOM, if any), not a silent XLA fallback
+        mrf_conv.pick_block_t = lambda t, c=32, _b=args.block_t: _b if t >= _b else None
     if args.max_channels:
         mrf_conv._MAX_CHANNELS = args.max_channels
 
@@ -70,16 +72,24 @@ def main():
     jax.block_until_ready(params)
     mel = jax.random.normal(jax.random.PRNGKey(1), (args.batch, 1024, 64), jnp.float32)
 
+    orig_stage = mrf_conv.fused_mrf_stage
     for routed in (False, True):
+        calls = []
+        mrf_conv.fused_mrf_stage = lambda *a, **kw: (calls.append(1), orig_stage(*a, **kw))[1]
         mrf_conv.use_fused_mrf(routed)
         try:
             t = timed(lambda p, m: apply_vocoder(p, cfg, m), params, mel)
         finally:
             mrf_conv.use_fused_mrf(False)
-        print(json.dumps({
+            mrf_conv.fused_mrf_stage = orig_stage
+        rec = {
             "variant": "fused_mrf" if routed else "xla",
             "batch": args.batch, "ms": round(t * 1e3, 2),
-        }))
+            "routed_stages": len(calls),
+        }
+        if routed and not calls:
+            rec["warning"] = "fused variant did NOT route (gate rejected) — timing is the XLA path"
+        print(json.dumps(rec))
 
 
 if __name__ == "__main__":
