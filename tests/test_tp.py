@@ -215,6 +215,37 @@ def test_tp_generate_matches_single_device(params):
     np.testing.assert_allclose(np.asarray(out_lora), np.asarray(ref_lora), atol=2e-5)
 
 
+def test_tp_generate_disables_pallas_flags_during_trace(params):
+    # pallas kernels (flash, fused MRF) have no GSPMD partitioning rules:
+    # the tp path must trace with both OFF even when globally enabled, and
+    # restore the flags afterwards
+    from audioldm_tpu.kernels import flash_enabled, mrf_conv, use_flash_attention
+    from audioldm_tpu.parallel import make_tp_generate_fn, shard_modules
+    from audioldm_tpu.pipeline.generate import generate
+
+    mods = _tiny_modules()
+    ids = jnp.full((1, 6), 5, jnp.int32).at[:, 0].set(0)
+    mask = jnp.ones((1, 6), jnp.int32)
+    u_ids = jnp.full((1, 6), 1, jnp.int32).at[:, 0].set(0)
+    u_mask = jnp.ones((1, 6), jnp.int32).at[:, 1:].set(0)
+    rng = jax.random.PRNGKey(7)
+    kw = dict(num_inference_steps=2, audio_length_in_s=0.01, guidance_scale=2.5)
+    ref = generate(mods, ids, mask, u_ids, u_mask, rng, dtype=jnp.float32, **kw)
+
+    use_flash_attention(True)
+    mrf_conv.use_fused_mrf(True)
+    try:
+        mesh = make_tp_mesh(4)
+        fn = make_tp_generate_fn(shard_modules(mesh, mods), mesh, dtype=jnp.float32, **kw)
+        out = fn(ids, mask, u_ids, u_mask, rng)
+        # flags restored after the call
+        assert flash_enabled() and mrf_conv.enabled()
+    finally:
+        use_flash_attention(False)
+        mrf_conv.use_fused_mrf(False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
 def test_tp_train_step_matches_single_device(params):
     # one LoRA train step on a 2x2 (dp, tp) mesh == the single-device step:
     # same loss, same updated adapters (global-batch semantics preserved)
