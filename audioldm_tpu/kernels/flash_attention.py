@@ -72,12 +72,15 @@ def enabled() -> bool:
     return _ENABLED
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_s, l_s, acc_s, *, nkv: int):
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_s, l_s, acc_s, *, nkv: int,
+                  m_real: int | None = None):
     """One (bh, q-block, kv-block) grid step. q comes pre-scaled by
     ``scale * log2e``; softmax runs in the exp2 domain. Scratch (m, l, acc)
     carries across the innermost kv axis. ``lse_ref`` is None on the
     inference path — the logsumexp residual is only needed by the backward,
-    and writing it costs a [BH, N, lanes] fp32 HBM store per call."""
+    and writing it costs a [BH, N, lanes] fp32 HBM store per call.
+    ``m_real``: true kv length when the wrapper padded it to a block
+    multiple — padded columns are masked to -inf before the softmax."""
     j = pl.program_id(2)
 
     @pl.when(j == 0)
@@ -90,6 +93,10 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_s, l_s, acc_s, *, nkv: 
     k = k_ref[0]  # [block_k, D]
     v = v_ref[0]
     s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)  # [bq, bk] fp32
+    if m_real is not None:
+        bk = s.shape[1]
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, bk), 1) + j * bk
+        s = jnp.where(col < m_real, s, -1e30)
     m_prev = m_s[:, 0:1]
     m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
     p = jnp.exp2(s - m_new)
@@ -107,11 +114,12 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_s, l_s, acc_s, *, nkv: 
             lse_ref[0] = jnp.broadcast_to(m_s[:, 0:1] + jnp.log2(l), lse_ref[0].shape)
 
 
-def _flash_kernel_nolse(q_ref, k_ref, v_ref, o_ref, m_s, l_s, acc_s, *, nkv: int):
-    _flash_kernel(q_ref, k_ref, v_ref, o_ref, None, m_s, l_s, acc_s, nkv=nkv)
+def _flash_kernel_nolse(q_ref, k_ref, v_ref, o_ref, m_s, l_s, acc_s, *, nkv: int,
+                        m_real: int | None = None):
+    _flash_kernel(q_ref, k_ref, v_ref, o_ref, None, m_s, l_s, acc_s, nkv=nkv, m_real=m_real)
 
 
-def _flash_kernel_one(q_ref, k_ref, v_ref, o_ref, *, sum_col: int):
+def _flash_kernel_one(q_ref, k_ref, v_ref, o_ref, *, sum_col: int, m_real: int | None = None):
     """Single-kv-block inference fast path (nkv == 1 — the UNet level-0
     case: block_k 4096 covers the whole sequence).
 
@@ -127,6 +135,9 @@ def _flash_kernel_one(q_ref, k_ref, v_ref, o_ref, *, sum_col: int):
     k = k_ref[0]
     v = v_ref[0]
     s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)  # [bq, bk] fp32
+    if m_real is not None:
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, s.shape[1]), 1)
+        s = jnp.where(col < m_real, s, -1e30)
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp2(s - m)
     o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
@@ -144,29 +155,43 @@ def _flash_bh(
     the base-2 logsumexp residual) or just ``out`` without (inference:
     skips a [BH, N, 128] fp32 HBM store per call). ``sum_col``: index of
     v's ones column (set by _pad_reshape when head_dim < lane width) —
-    enables the single-kv-block fast path."""
+    enables the single-kv-block fast path.
+
+    Ragged N/M (e.g. the API-default 10.0 s clip -> 4000 level-0 tokens)
+    are padded to block multiples here: padded kv columns are masked to
+    -inf inside the kernel (zero-padded k/v rows would otherwise collect
+    softmax mass at logit 0); padded q rows compute garbage that the
+    caller's slice discards."""
     bh, n, d = q2.shape
     m = k.shape[1]
-    block_q = min(block_q, n)
-    block_k = min(block_k, m)
-    nkv = m // block_k
-    grid = (bh, n // block_q, nkv)
+    block_q = block_q if n >= block_q else -(-n // 8) * 8
+    block_k = block_k if m >= block_k else -(-m // 8) * 8
+    n_pad = -(-n // block_q) * block_q
+    m_pad = -(-m // block_k) * block_k
+    if n_pad != n:
+        q2 = jnp.pad(q2, ((0, 0), (0, n_pad - n), (0, 0)))
+    if m_pad != m:
+        k = jnp.pad(k, ((0, 0), (0, m_pad - m), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, m_pad - m), (0, 0)))
+    m_real = m if m_pad != m else None
+    nkv = m_pad // block_k
+    grid = (bh, n_pad // block_q, nkv)
     one_pass = nkv == 1 and not with_lse and sum_col is not None
     if one_pass:
-        kernel = functools.partial(_flash_kernel_one, sum_col=sum_col)
+        kernel = functools.partial(_flash_kernel_one, sum_col=sum_col, m_real=m_real)
     elif with_lse:
-        kernel = functools.partial(_flash_kernel, nkv=nkv)
+        kernel = functools.partial(_flash_kernel, nkv=nkv, m_real=m_real)
     else:
-        kernel = functools.partial(_flash_kernel_nolse, nkv=nkv)
+        kernel = functools.partial(_flash_kernel_nolse, nkv=nkv, m_real=m_real)
     out_specs = pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM)
-    out_shape = jax.ShapeDtypeStruct((bh, n, d), q2.dtype)
+    out_shape = jax.ShapeDtypeStruct((bh, n_pad, d), q2.dtype)
     if with_lse:
         out_specs = (
             out_specs,
             pl.BlockSpec((1, block_q, _LANE), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
         )
-        out_shape = (out_shape, jax.ShapeDtypeStruct((bh, n, _LANE), jnp.float32))
-    return pl.pallas_call(
+        out_shape = (out_shape, jax.ShapeDtypeStruct((bh, n_pad, _LANE), jnp.float32))
+    res = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -186,6 +211,9 @@ def _flash_bh(
         ),
         interpret=interpret,
     )(q2, k, v)
+    if n_pad != n:
+        res = jax.tree.map(lambda x: x[:, :n, :], res)
+    return res
 
 
 def _flash_bwd_dkv_kernel(q2_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref, *, scale: float):
@@ -246,15 +274,27 @@ def _flash_bwd_bh(q2, k, v, o, lse2, do, scale: float, interpret: bool,
         block_k = _BWD_BLOCK_K  # module-level so sweeps can override live
     bh, n, d = q2.shape
     m = k.shape[1]
-    block_q = min(block_q, n)
-    block_k = min(block_k, m)
+    block_q = block_q if n >= block_q else -(-n // 8) * 8
+    block_k = block_k if m >= block_k else -(-m // 8) * 8
     delta = jnp.broadcast_to(
         jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1, keepdims=True), (bh, n, _LANE)
     )
+    # ragged N/M: zero-pad to block multiples. Padded q rows have do=0 so
+    # every dk/dv contraction through them vanishes; padded kv rows have
+    # k=v=0 so dq picks up nothing from them (p there is garbage but only
+    # ever multiplies zero rows); padded dq/dk/dv rows are sliced off below.
+    n_pad = -(-n // block_q) * block_q
+    m_pad = -(-m // block_k) * block_k
+    if n_pad != n:
+        rows = ((0, 0), (0, n_pad - n), (0, 0))
+        q2, do, delta, lse2 = (jnp.pad(t, rows) for t in (q2, do, delta, lse2))
+    if m_pad != m:
+        rows = ((0, 0), (0, m_pad - m), (0, 0))
+        k, v = (jnp.pad(t, rows) for t in (k, v))
 
     dk, dv = pl.pallas_call(
         functools.partial(_flash_bwd_dkv_kernel, scale=scale),
-        grid=(bh, m // block_k, n // block_q),
+        grid=(bh, m_pad // block_k, n_pad // block_q),
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda b, j, i: (b, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0), memory_space=pltpu.VMEM),
@@ -268,8 +308,8 @@ def _flash_bwd_bh(q2, k, v, o, lse2, do, scale: float, interpret: bool,
             pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((bh, m, d), jnp.float32),
-            jax.ShapeDtypeStruct((bh, m, d), jnp.float32),
+            jax.ShapeDtypeStruct((bh, m_pad, d), jnp.float32),
+            jax.ShapeDtypeStruct((bh, m_pad, d), jnp.float32),
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
@@ -281,32 +321,32 @@ def _flash_bwd_bh(q2, k, v, o, lse2, do, scale: float, interpret: bool,
 
     dq = pl.pallas_call(
         functools.partial(_flash_bwd_dq_kernel, block_k=block_k, scale=scale),
-        grid=(bh, n // block_q),
+        grid=(bh, n_pad // block_q),
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, m, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, m, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m_pad, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m_pad, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_q, _LANE), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_q, _LANE), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bh, n, d), q2.dtype),
+        out_shape=jax.ShapeDtypeStruct((bh, n_pad, d), q2.dtype),
         interpret=interpret,
     )(q2, k, v, do, lse2, delta)
+    if n_pad != n:
+        dq = dq[:, :n, :]
+    if m_pad != m:
+        dk, dv = dk[:, :m, :], dv[:, :m, :]
     return dq, dk, dv
 
 
 def supported(n: int, m: int, d: int) -> bool:
-    return (
-        n >= _MIN_TOKENS  # shorter sequences: XLA's fused attention wins
-        and n % min(_BLOCK_Q, n) == 0
-        and m % min(_BLOCK_K, m) == 0
-        and m % min(_BWD_BLOCK_K, m) == 0  # backward block_k
-        and n % 8 == 0
-        and m % 8 == 0
-        and d <= _LANE
-    )
+    # ragged N/M are padded to block multiples inside _flash_bh/_flash_bwd_bh
+    # with in-kernel kv masking, so divisibility is no longer required —
+    # e.g. the API-default 10.0 s clip (4000 level-0 tokens) now routes
+    # through flash instead of silently falling back to XLA attention.
+    return n >= _MIN_TOKENS and d <= _LANE
 
 
 def _pad_reshape(q, k, v):

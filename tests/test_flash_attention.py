@@ -10,7 +10,18 @@ from audioldm_tpu.kernels.flash_attention import flash_attention, supported
 from audioldm_tpu.models.nn import sdpa
 
 
-@pytest.mark.parametrize("shape", [(2, 2, 256, 16), (1, 4, 512, 64), (1, 2, 256, 80)])
+@pytest.mark.parametrize(
+    "shape",
+    [
+        (2, 2, 256, 16),
+        (1, 4, 512, 64),
+        (1, 2, 256, 80),
+        # ragged N/M: padded to block multiples with in-kernel kv masking
+        # (the API-default 10.0 s clip is the real 4000-token case)
+        (1, 2, 250, 16),
+        (1, 2, 300, 24),
+    ],
+)
 def test_flash_matches_sdpa(shape, rng):
     b, h, n, d = shape
     q = jnp.asarray(rng.standard_normal((b, h, n, d)).astype(np.float32))
@@ -45,6 +56,10 @@ def test_supported_routes_by_benefit():
     # is already optimal below ~2048 tokens (device-pure v5e sweep)
     assert supported(4096, 4096, 16)
     assert supported(2048, 2048, 32)
+    # ragged lengths route too (padded + masked in the kernel): the
+    # API-default 10.0 s clip gives 4000 level-0 tokens
+    assert supported(4000, 4000, 16)
+    assert supported(12000, 12000, 16)  # 30 s clip
     for n, d in [(1024, 32), (256, 48), (64, 80)]:
         assert not supported(n, n, d)
 
@@ -77,23 +92,25 @@ def test_flash_backward_matches_xla_vjp(rng):
         _pad_reshape,
     )
 
-    b, h, n, d = 1, 2, 256, 16
-    q = jnp.asarray(rng.standard_normal((b, h, n, d)).astype(np.float32))
-    k = jnp.asarray(rng.standard_normal((b, h, n, d)).astype(np.float32))
-    v = jnp.asarray(rng.standard_normal((b, h, n, d)).astype(np.float32))
-    g = jnp.asarray(rng.standard_normal((b, h, n, d)).astype(np.float32))
+    # 256: aligned; 250: ragged N/M — the pad+mask path through fwd AND bwd
+    for n in (256, 250):
+        b, h, d = 1, 2, 16
+        q = jnp.asarray(rng.standard_normal((b, h, n, d)).astype(np.float32))
+        k = jnp.asarray(rng.standard_normal((b, h, n, d)).astype(np.float32))
+        v = jnp.asarray(rng.standard_normal((b, h, n, d)).astype(np.float32))
+        g = jnp.asarray(rng.standard_normal((b, h, n, d)).astype(np.float32))
 
-    out_ref, vjp = jax.vjp(sdpa, q, k, v)
-    dq_ref, dk_ref, dv_ref = vjp(g)
+        out_ref, vjp = jax.vjp(sdpa, q, k, v)
+        dq_ref, dk_ref, dv_ref = vjp(g)
 
-    scale = 1.0 / math.sqrt(d)
-    qp, kp, vp, (b_, h_, n_, m_, d_, dp) = _pad_reshape(q, k, v)
-    out_bh, lse = _flash_bh(qp, kp, vp, scale, True)
-    np.testing.assert_allclose(
-        np.asarray(out_bh.reshape(b, h, n, dp)[..., :d]), np.asarray(out_ref), atol=2e-5
-    )
-    do = jnp.pad(g, ((0, 0), (0, 0), (0, 0), (0, dp - d))).reshape(b * h, n, dp)
-    dq, dk, dv = _flash_bwd_bh(qp, kp, vp, out_bh, lse, do, scale, True)
-    np.testing.assert_allclose(np.asarray(dq.reshape(b, h, n, dp)[..., :d]), np.asarray(dq_ref), atol=5e-5)
-    np.testing.assert_allclose(np.asarray(dk.reshape(b, h, n, dp)[..., :d]), np.asarray(dk_ref), atol=5e-5)
-    np.testing.assert_allclose(np.asarray(dv.reshape(b, h, n, dp)[..., :d]), np.asarray(dv_ref), atol=5e-5)
+        scale = 1.0 / math.sqrt(d)
+        qp, kp, vp, (b_, h_, n_, m_, d_, dp) = _pad_reshape(q, k, v)
+        out_bh, lse = _flash_bh(qp, kp, vp, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(out_bh.reshape(b, h, n, dp)[..., :d]), np.asarray(out_ref), atol=2e-5
+        )
+        do = jnp.pad(g, ((0, 0), (0, 0), (0, 0), (0, dp - d))).reshape(b * h, n, dp)
+        dq, dk, dv = _flash_bwd_bh(qp, kp, vp, out_bh, lse, do, scale, True)
+        np.testing.assert_allclose(np.asarray(dq.reshape(b, h, n, dp)[..., :d]), np.asarray(dq_ref), atol=5e-5)
+        np.testing.assert_allclose(np.asarray(dk.reshape(b, h, n, dp)[..., :d]), np.asarray(dk_ref), atol=5e-5)
+        np.testing.assert_allclose(np.asarray(dv.reshape(b, h, n, dp)[..., :d]), np.asarray(dv_ref), atol=5e-5)
