@@ -83,11 +83,22 @@ def bench_pipeline() -> float:
     return (time.perf_counter() - t0) / iters
 
 
+def bench_train() -> float:
+    """Slope-timed LoRA train step (ms) at the sweep optimum (b=2, flash
+    fwd+bwd) — guards the streaming Pallas backward."""
+    from tools.bench_serving import full_modules
+    from tools.bench_train_step import bench_one
+
+    return bench_one(full_modules(), 2, 64, False, True) * 1e3
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--thresholds", default=os.path.join(os.path.dirname(__file__), "perf_thresholds.json"))
     ap.add_argument("--skip-pipeline", action="store_true",
                     help="skip the full-pipeline bench (cold compile is expensive)")
+    ap.add_argument("--skip-train", action="store_true",
+                    help="skip the train-step bench (compiles the fwd+bwd program)")
     args = ap.parse_args()
     with open(args.thresholds) as f:
         thr = json.load(f)
@@ -104,6 +115,12 @@ def main():
         results["pipeline_s_per_clip"] = round(s, 4)
         if s > thr["pipeline_s_per_clip"]:
             failures.append(f"pipeline_s_per_clip {s:.4f} > {thr['pipeline_s_per_clip']}")
+
+    if not args.skip_train:
+        ms = bench_train()
+        results["train_step_b2_ms"] = round(ms, 2)
+        if ms > thr["train_step_b2_ms"]:
+            failures.append(f"train_step_b2_ms {ms:.2f} > {thr['train_step_b2_ms']}")
 
     print(json.dumps({"ok": not failures, "results": results, "failures": failures}))
     sys.exit(1 if failures else 0)
