@@ -407,3 +407,33 @@ def test_flush_overlapped_dispatch_matches_sequential(engine):
                          rng_key=jax.random.fold_in(base, 2), **gen)
     np.testing.assert_allclose(out[[0, 2]], c1, atol=0)
     np.testing.assert_allclose(out[[1, 3]], c2, atol=0)
+
+
+def test_serve_with_fused_mrf_matches(engine):
+    # integration: the fused Pallas MRF vocoder (interpret on CPU) inside
+    # the serve engine's compiled programs == the XLA path; a FRESH engine
+    # is required because compiled programs are cached per bucket
+    from audioldm_tpu.kernels import mrf_conv
+
+    prompts = ["hip hop beat", "smooth jazz"]
+    adapters = ["hiphop", "jazz"]
+    base = engine.generate(prompts, adapters=adapters, **GEN)
+
+    fresh = ServeEngine(
+        engine.modules, DummyTokenizer(), engine.lora_cfg, bank=engine.bank,
+        dtype=jnp.float32,
+    )
+    orig = mrf_conv._BLOCK_T_CANDIDATES
+    orig_stage = mrf_conv.fused_mrf_stage
+    calls = []
+    mrf_conv.fused_mrf_stage = lambda *a, **kw: (calls.append(1), orig_stage(*a, **kw))[1]
+    mrf_conv._BLOCK_T_CANDIDATES = (16, 8)  # tiny-geometry stages route
+    mrf_conv.use_fused_mrf(True)
+    try:
+        routed = fresh.generate(prompts, adapters=adapters, **GEN)
+    finally:
+        mrf_conv.use_fused_mrf(False)
+        mrf_conv._BLOCK_T_CANDIDATES = orig
+        mrf_conv.fused_mrf_stage = orig_stage
+    assert calls, "fused MRF kernel did not route — the test would be vacuous"
+    np.testing.assert_allclose(np.asarray(routed), np.asarray(base), atol=5e-5, rtol=5e-5)
