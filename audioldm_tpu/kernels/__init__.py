@@ -1,4 +1,4 @@
-from audioldm_tpu.kernels import mrf_conv
+from audioldm_tpu.kernels import mrf_conv, sharding
 from audioldm_tpu.kernels.flash_attention import (
     enabled as flash_enabled,
     flash_attention,
@@ -6,6 +6,7 @@ from audioldm_tpu.kernels.flash_attention import (
     use_flash_attention,
 )
 from audioldm_tpu.kernels.mrf_conv import fused_mrf_stage, use_fused_mrf
+from audioldm_tpu.kernels.sharding import kernel_dp_shard
 
 __all__ = [
     "flash_attention",
@@ -13,6 +14,8 @@ __all__ = [
     "flash_supported",
     "use_flash_attention",
     "fused_mrf_stage",
+    "kernel_dp_shard",
     "mrf_conv",
+    "sharding",
     "use_fused_mrf",
 ]

@@ -52,6 +52,17 @@ def set_min_tokens(n: int):
 
 _ENABLED = False
 
+# Test hook: force interpret mode through the REAL routing (custom_vjp +
+# jit + shard_map) so the dp-sharded path is executable on a CPU mesh —
+# the TPU-gated kernels are otherwise untestable under a virtual mesh.
+_FORCE_INTERPRET = False
+
+
+def force_interpret(enabled: bool = True):
+    global _FORCE_INTERPRET
+    _FORCE_INTERPRET = enabled
+
+
 # Single-kv-block "one-pass" forward variant: strips the running-max/rescale
 # state and rides the softmax denominator on the AV matmul via a ones column
 # in v's padding. MEASURED NEGATIVE on v5e (UNet step 13.65 -> 14.03-14.19
@@ -379,7 +390,7 @@ def _pad_reshape(q, k, v):
 def _flash_fwd_impl(q, k, v, interpret=False, block_q=None, block_k=None):
     q2, kp, vp, (b, h, n, m, d, dp) = _pad_reshape(q, k, v)
     out = _flash_bh(
-        q2, kp, vp, interpret,
+        q2, kp, vp, interpret or _FORCE_INTERPRET,
         block_q=block_q or _BLOCK_Q, block_k=block_k or _BLOCK_K, with_lse=False,
         sum_col=d if (dp > d and _ONE_PASS) else None,
     )
@@ -393,7 +404,7 @@ def _flash(q, k, v):
 
 def _flash_vjp_fwd(q, k, v):
     q2, kp, vp, meta = _pad_reshape(q, k, v)
-    out_bh, lse2 = _flash_bh(q2, kp, vp, False)
+    out_bh, lse2 = _flash_bh(q2, kp, vp, _FORCE_INTERPRET)
     b, h, n, m, d, dp = meta
     return out_bh.reshape(b, h, n, dp)[..., :d], (q2, kp, vp, out_bh, lse2, meta)
 
@@ -409,7 +420,7 @@ def _flash_vjp_bwd(res, g):
     if pad:
         do = jnp.pad(do, ((0, 0), (0, 0), (0, 0), (0, pad)))
     do = do.reshape(b * h, n, dp).astype(q2.dtype)
-    dq, dk, dv = _flash_bwd_bh(q2, kp, vp, out_bh, lse2, do, scale, False)
+    dq, dk, dv = _flash_bwd_bh(q2, kp, vp, out_bh, lse2, do, scale, _FORCE_INTERPRET)
     dq = dq.reshape(b, h, n, dp)[..., :d]
     dk = dk.reshape(b, h, m, dp)[..., :d]
     dv = dv.reshape(b, h, m, dp)[..., :d]
@@ -432,9 +443,31 @@ _flash_jits: dict = {}
 def _flash_jit_for_current_config():
     # keyed by every module-level knob the trace bakes in — a stale entry
     # would silently ignore live flag flips (see the _BWD_BLOCK_K note above)
-    key = (_BWD_BLOCK_K, _ONE_PASS)
+    key = (_BWD_BLOCK_K, _ONE_PASS, _FORCE_INTERPRET)
     if key not in _flash_jits:
         _flash_jits[key] = jax.jit(_flash)
+    return _flash_jits[key]
+
+
+def _flash_sharded_jit(mesh, batch_axis: str | None, heads_axis: str | None):
+    """shard_map-wrapped kernel over the mesh: batch dim 0 split over
+    ``batch_axis`` (dp), heads dim 1 over ``heads_axis`` (tp) — either may
+    be None; both at once is the combined 2-D (dp, tp) train step. Each
+    device runs the unmodified single-chip kernel (fwd AND custom-vjp bwd)
+    on its local shard — no collectives, no GSPMD replication fallback
+    (see kernels/sharding.py). ``check_vma=False``: the custom_vjp
+    primitive carries no varying-along-mesh annotations; every
+    operand/output is shard-local by construction."""
+    key = ("shard", mesh, batch_axis, heads_axis, _BWD_BLOCK_K, _ONE_PASS, _FORCE_INTERPRET)
+    if key not in _flash_jits:
+        from jax.sharding import PartitionSpec as P
+
+        spec = P(batch_axis, heads_axis)
+        fn = jax.shard_map(
+            _flash, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+            check_vma=False,
+        )
+        _flash_jits[key] = jax.jit(fn)
     return _flash_jits[key]
 
 
@@ -446,4 +479,15 @@ def flash_attention(
     Differentiable: streaming Pallas kernels forward and backward."""
     if interpret or block_q is not None or block_k is not None:
         return _flash_fwd_impl(q, k, v, interpret=interpret, block_q=block_q, block_k=block_k)
+    from audioldm_tpu.kernels import sharding as _ksh
+
+    dp = _ksh.shardable(q.shape[0])
+    hd = _ksh.heads_shardable(q.shape[1])
+    if dp is not None and hd is not None and dp[0] is not hd[0]:
+        hd = None  # different meshes cannot combine; the batch split wins
+    if dp is not None or hd is not None:
+        mesh = (dp or hd)[0]
+        return _flash_sharded_jit(
+            mesh, dp[1] if dp else None, hd[1] if hd else None
+        )(q, k, v)
     return _flash_jit_for_current_config()(q, k, v)

@@ -214,7 +214,7 @@ def _pack(block: dict, k: int, c: int):
         "kernel_sizes", "dilations", "slope", "block_t", "interpret", "channel_major"
     ),
 )
-def fused_mrf_stage(
+def _fused_mrf_stage_impl(
     x: jnp.ndarray,
     blocks,
     post=None,
@@ -226,15 +226,6 @@ def fused_mrf_stage(
     interpret: bool = False,
     channel_major: bool = False,
 ) -> jnp.ndarray:
-    """``x``: [B, T, C] fp32 (or [B, C, T] with ``channel_major=True`` —
-    skips the entry/exit transposes, ~0.9 ms each at the last-stage shape);
-    ``blocks``: list (len = len(kernel_sizes)) of vocoder resblock param
-    dicts. Returns ``mean_j resblock_j(x)`` in the same layout — exactly
-    ``models.vocoder._apply_resblock`` averaged, as one Pallas program.
-
-    ``post``: optional conv_post param dict ({"kernel": [k, C, 1], "bias"?})
-    — fuses ``tanh(conv_post(leaky_0.01(·)))`` into the epilogue and returns
-    the waveform with output-channel dim 1 instead of the stage tensor."""
     if channel_major:
         bsz, c, t = x.shape
     else:
@@ -290,3 +281,59 @@ def fused_mrf_stage(
     )(xp, *packed)
     y = y[:, :, :t] if padded_t != t else y
     return y if channel_major else jnp.transpose(y, (0, 2, 1))
+
+
+_dp_fns: dict = {}
+
+
+def fused_mrf_stage(
+    x: jnp.ndarray,
+    blocks,
+    post=None,
+    *,
+    kernel_sizes=(3, 7, 11),
+    dilations=((1, 3, 5), (1, 3, 5), (1, 3, 5)),
+    slope: float = 0.1,
+    block_t: int | None = None,
+    interpret: bool = False,
+    channel_major: bool = False,
+) -> jnp.ndarray:
+    """``x``: [B, T, C] fp32 (or [B, C, T] with ``channel_major=True`` —
+    skips the entry/exit transposes, ~0.9 ms each at the last-stage shape);
+    ``blocks``: list (len = len(kernel_sizes)) of vocoder resblock param
+    dicts. Returns ``mean_j resblock_j(x)`` in the same layout — exactly
+    ``models.vocoder._apply_resblock`` averaged, as one Pallas program.
+
+    ``post``: optional conv_post param dict ({"kernel": [k, C, 1], "bias"?})
+    — fuses ``tanh(conv_post(leaky_0.01(·)))`` into the epilogue and returns
+    the waveform with output-channel dim 1 instead of the stage tensor.
+
+    Under an active ``kernels.sharding.kernel_dp_shard`` context whose data
+    axis divides the batch, the kernel runs inside ``shard_map`` — each
+    device computes its local batch shard (the pallas custom-call has no
+    GSPMD partitioning rule; unwrapped, a dp-mesh jit would replicate it)."""
+    from audioldm_tpu.kernels import sharding as _ksh
+
+    statics = dict(
+        kernel_sizes=tuple(kernel_sizes),
+        dilations=tuple(tuple(d) for d in dilations),
+        slope=slope, block_t=block_t, interpret=interpret,
+        channel_major=channel_major,
+    )
+    dp = _ksh.shardable(x.shape[0])
+    if dp is None:
+        return _fused_mrf_stage_impl(x, blocks, post, **statics)
+    mesh, axis = dp
+    key = (mesh, axis) + tuple(statics.values())
+    if key not in _dp_fns:
+        from jax.sharding import PartitionSpec as P
+
+        fn = jax.shard_map(
+            functools.partial(_fused_mrf_stage_impl, **statics),
+            mesh=mesh,
+            in_specs=(P(axis), P(), P()),  # batch sharded; params replicated
+            out_specs=P(axis),
+            check_vma=False,
+        )
+        _dp_fns[key] = jax.jit(fn)
+    return _dp_fns[key](x, blocks, post)

@@ -294,8 +294,13 @@ def sdpa(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, mask: Optional[jnp.ndar
     no HBM logits; otherwise XLA's fused attention."""
     if mask is None:
         from audioldm_tpu.kernels import flash_attention, flash_enabled, flash_supported
+        from audioldm_tpu.kernels.sharding import flash_route_ok
 
-        if flash_enabled() and flash_supported(q.shape[2], k.shape[2], q.shape[3]):
+        if (
+            flash_enabled()
+            and flash_supported(q.shape[2], k.shape[2], q.shape[3])
+            and flash_route_ok(q.shape[1])
+        ):
             return flash_attention(q, k, v)
     scale = 1.0 / math.sqrt(q.shape[-1])
     logits = jnp.einsum("bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32) * scale

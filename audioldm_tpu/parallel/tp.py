@@ -34,13 +34,18 @@ no hand-written collectives, XLA inserts the psum on ICI):
 
 The step traces with the fused-qkv path disabled (``nn.qkv_fusion(False)``)
 — the ``[C,3C]`` concat along the sharded axis would otherwise defeat
-column propagation — and with flash attention off: the Pallas kernel has
-no GSPMD partitioning rule, while XLA's attention einsums shard cleanly
-over the heads batch axis. Per-device attention is ``heads/tp`` heads, so
-the padded-MXU floor argument (PERF.md) is unchanged per chip.
+column propagation. Flash attention stays ON: the Pallas kernel has no
+GSPMD partitioning rule of its own, so ``kernels.sharding
+.kernel_heads_shard`` wraps it in shard_map over the tp axis on the HEADS
+dim — each chip runs the single-chip kernel on its local head group, the
+exact layout the qkv column split already produced (so the reshard into
+shard_map is a no-op). Per-device attention is ``heads/tp`` heads; the
+padded-MXU floor argument (PERF.md) is unchanged per chip, and level-0
+keeps the ~1.7x flash-vs-XLA win in latency mode.
 
-Correctness does not depend on divisibility: GSPMD falls back to
-resharding when ``heads % tp != 0`` — only the collective count suffers.
+Correctness does not depend on divisibility: when ``heads % tp != 0`` the
+kernel is vetoed per call (sdpa falls back to XLA attention, which GSPMD
+reshards) — only the collective count suffers.
 Validated in tests/test_tp.py on a virtual CPU mesh (output equality vs
 the single-device step, all-reduce present in the compiled HLO) and in
 ``__graft_entry__.dryrun_multichip`` phase 6.
@@ -153,20 +158,19 @@ def make_tp_unet_step(cfg: UNetConfig, mesh: Mesh):
     def call(params, latents, t, class_labels):
         # flags are read at trace time; first call traces inside this
         # context, later calls hit the jit cache
-        from audioldm_tpu.kernels import flash_enabled, use_flash_attention
+        from audioldm_tpu.kernels.sharding import kernel_heads_shard
 
         # activations replicated onto the SAME mesh as the params —
         # mixing a mesh-sharded tree with single-device arrays is an error
         latents, t, class_labels = (
             jax.device_put(x, repl) for x in (latents, t, class_labels)
         )
-        prev_flash = flash_enabled()
-        use_flash_attention(False)
-        try:
-            with nn.qkv_fusion(False), nn.ff_tp(mesh.shape["tp"]):
-                return step(params, latents, t, class_labels)
-        finally:
-            use_flash_attention(prev_flash)
+        # flash stays ON under tp: the heads context wraps the kernel in
+        # shard_map over the heads axis — the same head-group split the qkv
+        # column sharding produced (kernels/sharding.py). Non-divisible head
+        # counts veto the kernel per call (sdpa falls back to XLA attention).
+        with nn.qkv_fusion(False), nn.ff_tp(mesh.shape["tp"]), kernel_heads_shard(mesh):
+            return step(params, latents, t, class_labels)
 
     call.jitted = step
     return call
@@ -267,16 +271,20 @@ def make_tp_train_step(
     )
 
     def fn(state, batch, rng):
-        from audioldm_tpu.kernels import flash_enabled, use_flash_attention
+        from audioldm_tpu.kernels.sharding import kernel_dp_shard, kernel_heads_shard
         from audioldm_tpu.models import nn
 
-        prev_flash = flash_enabled()
-        use_flash_attention(False)
-        try:
-            with nn.qkv_fusion(False), nn.ff_tp(mesh.shape["tp"]):
-                return jitted(modules, state, batch, rng)
-        finally:
-            use_flash_attention(prev_flash)
+        # flash rides shard_map over BOTH mesh axes on the 2-D mesh: batch
+        # over dp, head group over tp (P('dp','tp') specs — heads alone
+        # would silently all-gather the dp-sharded batch into every
+        # shard_map block); non-divisible extents drop that axis per call
+        with (
+            nn.qkv_fusion(False),
+            nn.ff_tp(mesh.shape["tp"]),
+            kernel_dp_shard(mesh),
+            kernel_heads_shard(mesh),
+        ):
+            return jitted(modules, state, batch, rng)
 
     return fn
 
@@ -302,10 +310,11 @@ def make_tp_generate_fn(
     deltas add to the column-sharded projections as local slices of a
     replicated operand — no extra collectives.
 
-    Traced with flash attention off (Pallas has no GSPMD partitioning rule)
-    and the qkv/geglu layouts in their TP forms; split-compiles the mel
-    stage and the vocoder like the single-device path (compile time is
-    superlinear in program size — PERF.md)."""
+    Traced with flash attention sharded over the heads axis (shard_map via
+    ``kernels.sharding.kernel_heads_shard``) and the qkv/geglu layouts in
+    their TP forms; split-compiles the mel stage and the vocoder like the
+    single-device path (compile time is superlinear in program size —
+    PERF.md)."""
     import functools
 
     import jax.numpy as jnp
@@ -330,7 +339,8 @@ def make_tp_generate_fn(
         return vocode(mods, mel, voc_samples)
 
     def fn(input_ids, attention_mask, uncond_ids, uncond_mask, rng, lora=None):
-        from audioldm_tpu.kernels import flash_enabled, mrf_conv, use_flash_attention
+        from audioldm_tpu.kernels import mrf_conv
+        from audioldm_tpu.kernels.sharding import kernel_heads_shard
         from audioldm_tpu.models import nn
 
         args = tuple(
@@ -339,18 +349,18 @@ def make_tp_generate_fn(
         )
         if lora is not None:
             lora = jax.tree.map(lambda x: jax.device_put(x, repl), lora)
-        prev_flash = flash_enabled()
         prev_mrf = mrf_conv.enabled()
-        # Pallas kernels (flash, fused MRF) have no GSPMD partitioning rules
-        # — both must be off while tracing programs over the tp mesh
-        use_flash_attention(False)
+        # flash attention stays ON: the heads context wraps it in shard_map
+        # over the tp axis (kernels/sharding.py). The fused-MRF vocoder
+        # kernel stays OFF — the vocoder is replicated across tp and the
+        # partitioning-rule-less pallas call would pin replication choices
+        # GSPMD should make (it is ~2% of clip time here).
         mrf_conv.use_fused_mrf(False)
         try:
-            with nn.qkv_fusion(False), nn.ff_tp(mesh.shape["tp"]):
+            with nn.qkv_fusion(False), nn.ff_tp(mesh.shape["tp"]), kernel_heads_shard(mesh):
                 mel = fn_mel(modules, *args, lora)
                 return fn_voc(modules, mel)
         finally:
-            use_flash_attention(prev_flash)
             mrf_conv.use_fused_mrf(prev_mrf)
 
     return fn

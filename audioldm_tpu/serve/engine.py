@@ -203,9 +203,18 @@ class ServeEngine:
             else:
                 jitted = jax.jit(f)
             samples = int(seconds * self.modules.vocoder_cfg.sampling_rate)
-            self._fns[key] = lambda *args, _j=jitted, _n=samples: self._vocode(
-                args[0], _j(*args), _n
-            )
+
+            def call(*args, _j=jitted, _n=samples):
+                # trace-time dp context: Pallas kernels (flash in the mel
+                # stage, fused MRF in the vocoder) shard over the batch
+                # under shard_map instead of GSPMD replication
+                # (kernels/sharding.py); no-op when mesh is None
+                from audioldm_tpu.kernels.sharding import kernel_dp_shard
+
+                with kernel_dp_shard(self.mesh):
+                    return self._vocode(args[0], _j(*args), _n)
+
+            self._fns[key] = call
         return self._fns[key]
 
     def _tokenize(self, prompts: Sequence[str]):

@@ -207,7 +207,12 @@ def make_distill_step(
         )
 
     def fn(state: DistillState, batch: dict, rng: jax.Array):
-        return jitted(modules, state, batch, rng)
+        # trace-time dp context: Pallas kernels shard over the batch instead
+        # of falling back to GSPMD replication (kernels/sharding.py)
+        from audioldm_tpu.kernels.sharding import kernel_dp_shard
+
+        with kernel_dp_shard(mesh):
+            return jitted(modules, state, batch, rng)
 
     return fn
 

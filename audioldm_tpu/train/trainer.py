@@ -181,7 +181,14 @@ def make_train_step(
         )
 
     def fn(state: TrainState, batch: dict, rng: jax.Array):
-        return jitted(modules, state, batch, rng)
+        # Pallas kernels traced inside the dp context run under shard_map
+        # over the batch (kernels/sharding.py) — without it GSPMD would
+        # replicate the partitioning-rule-less pallas custom-calls across
+        # the mesh. Read at trace time only; no-op when mesh is None.
+        from audioldm_tpu.kernels.sharding import kernel_dp_shard
+
+        with kernel_dp_shard(mesh):
+            return jitted(modules, state, batch, rng)
 
     return fn
 

@@ -215,10 +215,12 @@ def test_tp_generate_matches_single_device(params):
     np.testing.assert_allclose(np.asarray(out_lora), np.asarray(ref_lora), atol=2e-5)
 
 
-def test_tp_generate_disables_pallas_flags_during_trace(params):
-    # pallas kernels (flash, fused MRF) have no GSPMD partitioning rules:
-    # the tp path must trace with both OFF even when globally enabled, and
-    # restore the flags afterwards
+def test_tp_generate_gates_pallas_kernels_during_trace(params):
+    # the fused-MRF kernel has no GSPMD partitioning rule: the tp path must
+    # trace with it OFF even when globally enabled, and restore the flag
+    # afterwards. Flash stays globally ON — under tp it routes through the
+    # heads-sharded shard_map wrapper (kernels/sharding.py; dedicated
+    # equality tests in test_kernel_sharding.py) or is vetoed per call.
     from audioldm_tpu.kernels import flash_enabled, mrf_conv, use_flash_attention
     from audioldm_tpu.parallel import make_tp_generate_fn, shard_modules
     from audioldm_tpu.pipeline.generate import generate
