@@ -92,6 +92,41 @@ def bench_train() -> float:
     return bench_one(full_modules(), 2, 64, False, True) * 1e3
 
 
+def bench_serving() -> float:
+    """Batch-4 uniform-adapter ServeEngine s/clip (merged route, per-bucket
+    split-compiled programs, fused MRF vocoder) — guards the serving stack
+    end to end: tokenize, bucketing, merged-adapter cache, flush-style
+    dispatch, vocode, host fetch. A regression in any serve-side routing
+    decision (split gate, bucket compile, kernel flags) shows up here even
+    when the raw pipeline bench stays clean."""
+    from audioldm_tpu.config import LoRAConfig
+    from audioldm_tpu.kernels import use_flash_attention, use_fused_mrf
+    from audioldm_tpu.lora import init_lora
+    from audioldm_tpu.serve import AdapterBank, ServeEngine
+    from tools.bench_serving import Tok, full_modules
+
+    use_flash_attention(True)
+    use_fused_mrf(True)
+    modules = full_modules()
+    lcfg = LoRAConfig(r=4, lora_alpha=4)
+    adapter = jax.tree.map(
+        lambda x: (x + 0.01).astype(jnp.bfloat16),
+        init_lora(jax.random.PRNGKey(1), modules.unet, lcfg),
+    )
+    bank = AdapterBank.from_adapters({"a": adapter}, lcfg)
+    eng = ServeEngine(modules, Tok(), lcfg, bank=bank, bucket_sizes=(4,))
+    prompts = ["hip hop beat"] * 4
+    adapters = ["a"] * 4
+    gen = dict(num_inference_steps=50, audio_length_in_s=10.24, guidance_scale=2.5)
+    eng.generate(prompts, adapters=adapters, seed=0, **gen)  # compile
+    eng.generate(prompts, adapters=adapters, seed=1, **gen)  # warm
+    iters = 3
+    t0 = time.perf_counter()
+    for i in range(iters):
+        eng.generate(prompts, adapters=adapters, seed=2 + i, **gen)
+    return (time.perf_counter() - t0) / iters / 4
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--thresholds", default=os.path.join(os.path.dirname(__file__), "perf_thresholds.json"))
@@ -99,6 +134,8 @@ def main():
                     help="skip the full-pipeline bench (cold compile is expensive)")
     ap.add_argument("--skip-train", action="store_true",
                     help="skip the train-step bench (compiles the fwd+bwd program)")
+    ap.add_argument("--serving", action="store_true",
+                    help="also gate the batch-4 ServeEngine path (extra per-bucket compile)")
     args = ap.parse_args()
     with open(args.thresholds) as f:
         thr = json.load(f)
@@ -121,6 +158,12 @@ def main():
         results["train_step_b2_ms"] = round(ms, 2)
         if ms > thr["train_step_b2_ms"]:
             failures.append(f"train_step_b2_ms {ms:.2f} > {thr['train_step_b2_ms']}")
+
+    if args.serving:
+        s = bench_serving()
+        results["serving_s_per_clip_b4"] = round(s, 4)
+        if s > thr["serving_s_per_clip_b4"]:
+            failures.append(f"serving_s_per_clip_b4 {s:.4f} > {thr['serving_s_per_clip_b4']}")
 
     print(json.dumps({"ok": not failures, "results": results, "failures": failures}))
     sys.exit(1 if failures else 0)
