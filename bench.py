@@ -111,8 +111,12 @@ def main():
         # backend block_until_ready returns before execution finishes
         return jax.device_get(wav[0, :8])
 
-    # compile + warmup
+    # compile + warmup: AOT-compile the two stage programs in parallel
+    # threads (remote compiles overlap; AUDIOLDM_BENCH_AOT=0 keeps the
+    # serial lazy-jit path for A/B)
     t0 = time.perf_counter()
+    if os.environ.get("AUDIOLDM_BENCH_AOT") != "0":
+        fn.precompile(ids, mask, u_ids, u_mask, jax.random.PRNGKey(0))
     run(0)
     compile_s = time.perf_counter() - t0
     print(f"# compile+warmup: {compile_s:.1f}s", file=sys.stderr)

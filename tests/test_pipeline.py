@@ -194,3 +194,28 @@ def test_split_compile_matches_monolithic(modules):
     b = np.asarray(f_mono(ids, mask, u_ids, u_mask, jax.random.PRNGKey(3)))
     assert a.shape == b.shape
     np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_precompile_aot_matches_jit_path(modules):
+    """fn.precompile() AOT-compiles both stage programs (in parallel threads
+    on remote backends — bench.py's driver contract) and pins them for the
+    precompiled arg shapes; results must be bit-identical to the lazy jit
+    path, and OTHER arg shapes must fall back to the jit path unharmed."""
+    ids = jnp.full((1, 6), 5, jnp.int32).at[:, 0].set(0)
+    mask = jnp.ones((1, 6), jnp.int32)
+    u_ids = jnp.full((1, 6), 1, jnp.int32).at[:, 0].set(0)
+    u_mask = jnp.zeros((1, 6), jnp.int32).at[:, 0].set(1)
+    kw = dict(num_inference_steps=2, audio_length_in_s=0.01,
+              guidance_scale=2.0, dtype=jnp.float32)
+    f_lazy = make_generate_fn(modules, split_compile=True, **kw)
+    f_aot = make_generate_fn(modules, split_compile=True, **kw)
+    f_aot.precompile(ids, mask, u_ids, u_mask, jax.random.PRNGKey(3))
+    a = np.asarray(f_aot(ids, mask, u_ids, u_mask, jax.random.PRNGKey(3)))
+    b = np.asarray(f_lazy(ids, mask, u_ids, u_mask, jax.random.PRNGKey(3)))
+    np.testing.assert_array_equal(a, b)
+
+    # different batch -> aval mismatch -> normal jit path (recompiles, works)
+    ids2, mask2, u2, um2 = _prompts(b=2)
+    wav2 = np.asarray(f_aot(ids2, mask2, u2, um2, jax.random.PRNGKey(3)))
+    ref2 = np.asarray(f_lazy(ids2, mask2, u2, um2, jax.random.PRNGKey(3)))
+    np.testing.assert_array_equal(wav2, ref2)
