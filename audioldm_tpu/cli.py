@@ -97,6 +97,13 @@ def cmd_generate(args):
             guidance_scale=args.guidance, dtype=jnp.float32 if args.fp32 else jnp.bfloat16,
             scheduler=args.scheduler,
         )
+        # AOT-compile the two stage programs in parallel threads: overlaps
+        # the remote compiles, ~-20% one-shot CLI latency on TPU (PERF.md)
+        fn.precompile(
+            jnp.asarray(tok["input_ids"]), jnp.asarray(tok["attention_mask"]),
+            jnp.asarray(unc["input_ids"]), jnp.asarray(unc["attention_mask"]),
+            jax.random.PRNGKey(args.seed),
+        )
     wav = np.asarray(
         fn(
             jnp.asarray(tok["input_ids"]), jnp.asarray(tok["attention_mask"]),

@@ -217,6 +217,45 @@ class ServeEngine:
             self._fns[key] = call
         return self._fns[key]
 
+    def warmup(
+        self,
+        num_inference_steps: int = 50,
+        audio_length_in_s: float = 10.24,
+        guidance_scale: float = 2.5,
+        scheduler: str = "ddim",
+        buckets: Optional[Sequence[int]] = None,
+        adapter: Optional[str] = None,
+    ) -> None:
+        """Compile the per-bucket serving programs CONCURRENTLY before real
+        traffic arrives: one thread per bucket drives a throwaway
+        negative-prompt batch through the normal dispatch path, so the
+        independent remote compiles overlap (paired A/B on the pipeline
+        stages: 51.8 s parallel vs 86.4 s serial, PERF.md) and the jit
+        caches end up exactly as live traffic would leave them. Pays one
+        discarded generation per bucket on top of the compiles.
+
+        ``adapter`` warms the merged-weight route for that adapter (same
+        compiled program as base traffic — the merged bundle is a pytree
+        argument — plus the merge itself). The generation key/program
+        parameters must match the later traffic: ``steps`` etc. are part of
+        the compile key."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        bs = tuple(buckets) if buckets is not None else self.bucket_sizes
+
+        def _one(b):
+            parts = self._generate_async(
+                [self.negative_prompt] * b,
+                None if adapter is None else [adapter] * b,
+                num_inference_steps, audio_length_in_s, guidance_scale,
+                scheduler, jax.random.PRNGKey(0),
+            )
+            for arr, _ in parts:
+                jax.device_get(arr[0, :1])  # fence: compile + run complete
+
+        with ThreadPoolExecutor(max(1, len(bs))) as ex:
+            list(ex.map(_one, bs))
+
     def _tokenize(self, prompts: Sequence[str]):
         tok = self.tokenizer(list(prompts))
         u = self.tokenizer([self.negative_prompt])

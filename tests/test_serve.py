@@ -437,3 +437,22 @@ def test_serve_with_fused_mrf_matches(engine):
         mrf_conv.fused_mrf_stage = orig_stage
     assert calls, "fused MRF kernel did not route — the test would be vacuous"
     np.testing.assert_allclose(np.asarray(routed), np.asarray(base), atol=5e-5, rtol=5e-5)
+
+
+def test_warmup_precompiles_buckets_concurrently(engine):
+    """warmup() drives every bucket's program through the normal dispatch
+    path from parallel threads: later traffic must produce bit-identical
+    output to an un-warmed engine and hit the jit caches (no new traces)."""
+    eng = ServeEngine(
+        engine.modules, DummyTokenizer(), engine.lora_cfg, bank=engine.bank,
+        dtype=jnp.float32, bucket_sizes=(1, 2),
+    )
+    kw = dict(num_inference_steps=2, audio_length_in_s=0.01, guidance_scale=2.0,
+              scheduler="ddim")
+    eng.warmup(**kw, adapter="hiphop")
+    t0 = eng.traces
+    assert "hiphop" in eng._merged_cache  # merge itself warmed too
+    wav = eng.generate(["a b", "c d"], adapters=["hiphop"] * 2, seed=0, **kw)
+    assert eng.traces == t0  # both buckets + vocoder already compiled
+    ref = engine.generate(["a b", "c d"], adapters=["hiphop"] * 2, seed=0, **kw)
+    np.testing.assert_array_equal(np.asarray(wav), np.asarray(ref))
