@@ -432,9 +432,17 @@ def cmd_distill(args):
 
 
 def _add_serve(sub):
-    p = sub.add_parser("serve", help="batched multi-LoRA serving: requests file -> wavs")
+    p = sub.add_parser("serve", help="batched multi-LoRA serving: requests file -> wavs, or --port for the HTTP daemon")
     p.add_argument("--checkpoint", required=True, help="audioldm checkpoint dir (HF layout)")
-    p.add_argument("--requests", required=True,
+    p.add_argument("--port", type=int, default=None,
+                   help="run the HTTP serving daemon on this port (continuous microbatching; "
+                        "POST /v1/generate, POST /v1/adapters hot-load, /healthz, /v1/stats)")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--batch-delay-ms", type=float, default=50.0,
+                   help="daemon batching window: close a batch when the oldest request has waited this long")
+    p.add_argument("--warmup", action="store_true",
+                   help="daemon: precompile every bucket's program (thread-parallel) before accepting traffic")
+    p.add_argument("--requests", default=None,
                    help="jsonl file: {\"prompt\": ..., \"adapter\": <name|null>} per line")
     p.add_argument("--lora", action="append", default=[], metavar="NAME=PATH",
                    help="adapter bank entry (PEFT safetensors); repeatable")
@@ -444,7 +452,7 @@ def _add_serve(sub):
     p.add_argument("--scheduler", default="ddim", choices=["ddim", "dpm++", "lcm"])
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--max-batch", type=int, default=None)
-    p.add_argument("--output", required=True, help="output dir (000000.wav ... in request order)")
+    p.add_argument("--output", default=None, help="output dir (000000.wav ... in request order)")
     p.add_argument("--fp32", action="store_true")
     p.add_argument("--dp", type=int, default=None, help="data-parallel devices")
 
@@ -491,6 +499,35 @@ def cmd_serve(args):
         dtype=jnp.float32 if args.fp32 else jnp.bfloat16,
     )
 
+    if (args.port is None) == (args.requests is None):
+        raise SystemExit("serve needs exactly one of --requests (offline batch) or --port (HTTP daemon)")
+
+    if args.port is not None:
+        from audioldm_tpu.serve import Microbatcher, make_server
+
+        if args.warmup:
+            print("warming up: compiling every bucket's program ...")
+            engine.warmup(num_inference_steps=args.steps, audio_length_in_s=args.seconds,
+                          guidance_scale=args.guidance, scheduler=args.scheduler)
+        batcher = Microbatcher(
+            engine, max_batch=args.max_batch or engine.bucket_sizes[-1],
+            max_delay_ms=args.batch_delay_ms, base_seed=args.seed,
+        )
+        server = make_server(batcher, modules.vocoder_cfg.sampling_rate,
+                             host=args.host, port=args.port)
+        print(f"serving on http://{args.host}:{server.server_address[1]} "
+              f"(POST /v1/generate; adapters: {sorted(bank.names) if bank else ['base']})")
+        try:
+            server.serve_forever()
+        except KeyboardInterrupt:
+            pass
+        finally:
+            server.server_close()
+            batcher.close()
+        return
+
+    if args.output is None:
+        raise SystemExit("offline serve (--requests) needs --output")
     requests = []
     with open(args.requests) as f:
         for line in f:

@@ -1,0 +1,331 @@
+"""Online serving: deadline-based continuous microbatching + HTTP front end.
+
+The reference has no serving system — its closest artifact is the one-shot
+merge-and-generate script (script/inference/generate_audio.py:11-59), and
+BASELINE config 5 asks for batched multi-LoRA serving. ``ServeEngine``
+covers the OFFLINE path (``submit``/``flush`` over a requests file); this
+module adds the ONLINE path: concurrent callers submit single requests, a
+scheduler thread forms batches — a batch closes when it reaches
+``max_batch`` or when its oldest request has waited ``max_delay_ms`` — and
+each batch rides the engine's normal bucketed, CFG-folded, merged-cache
+dispatch. TPU framing: one chip's s/clip is flat in batch size (PERF.md
+serving sweep b=1..8), so batching concurrent requests raises throughput
+~linearly while light-load latency only pays the batching window.
+
+Batching semantics:
+- Requests are grouped by their generation parameters (steps / seconds /
+  guidance / scheduler) — those are compile keys, so different settings
+  can never share a device program anyway.
+- Unseeded requests share batches; the batch's RNG comes from a monotone
+  scheduler counter (deterministic for a fixed arrival grouping, never
+  reused across batches — same discipline as ``ServeEngine.flush``).
+- A request with an explicit ``seed`` is served in its OWN batch of 1:
+  the latent draw depends on batch shape and row position, so solo
+  execution is the only way "same seed -> same waveform" can hold
+  independently of what else is in flight.
+
+The HTTP layer is stdlib-only (``http.server``): POST /v1/generate returns
+base64 wav, POST /v1/adapters hot-loads a PEFT LoRA into the running bank
+(no recompile — the adapter bank is a pytree argument, engine.py design
+note), GET /healthz and /v1/stats for operations.
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+import threading
+import time
+from collections import deque
+from concurrent.futures import Future
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import numpy as np
+
+from audioldm_tpu.serve.engine import AdapterBank, ServeEngine
+
+
+@dataclass(frozen=True)
+class GenParams:
+    """Generation settings that key a compiled program (ServeEngine._fn
+    cache key fields, minus the bucket the scheduler doesn't control)."""
+
+    num_inference_steps: int = 50
+    audio_length_in_s: float = 10.0
+    guidance_scale: float = 2.5
+    scheduler: str = "ddim"
+
+
+@dataclass
+class _Pending:
+    prompt: str
+    adapter: Optional[str]
+    params: GenParams
+    seed: Optional[int]
+    future: Future
+    t_submit: float
+
+
+class Microbatcher:
+    """Single scheduler thread turning concurrent ``submit`` calls into
+    engine batches. All engine access (dispatch AND adapter hot-load) is
+    serialized through ``_engine_lock`` — jax dispatch itself is
+    thread-safe, but the engine's merged/jit caches and the bank pytree
+    are plain Python state."""
+
+    def __init__(
+        self,
+        engine: ServeEngine,
+        max_batch: int = 8,
+        max_delay_ms: float = 50.0,
+        base_seed: int = 0,
+    ):
+        self.engine = engine
+        self.max_batch = max_batch
+        self.max_delay_ms = max_delay_ms
+        self.base_seed = base_seed
+        self.batch_sizes: list[int] = []  # observability (tested)
+        self.served = 0
+        self._pending: deque[_Pending] = deque()
+        self._cv = threading.Condition()
+        self._engine_lock = threading.Lock()
+        self._batch_ordinal = 0
+        self._running = True
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    # -- public API ---------------------------------------------------------
+    def submit(
+        self,
+        prompt: str,
+        adapter: Optional[str] = None,
+        params: GenParams = GenParams(),
+        seed: Optional[int] = None,
+    ) -> Future:
+        """Enqueue one request; the Future resolves to a float32 waveform
+        ``[samples]``. Unknown adapters fail fast here (not mid-batch)."""
+        if adapter not in (None, "base"):
+            bank = self.engine.bank
+            if bank is None or adapter not in bank.names:
+                have = sorted(bank.names) if bank is not None else []
+                raise KeyError(f"unknown adapter {adapter!r}; loaded: {have}")
+        fut: Future = Future()
+        req = _Pending(prompt, adapter, params, seed, fut, time.monotonic())
+        with self._cv:
+            if not self._running:
+                raise RuntimeError("Microbatcher is closed")
+            self._pending.append(req)
+            self._cv.notify()
+        return fut
+
+    def load_adapter(self, name: str, adapter_tree, rank: int, alpha: Optional[float] = None) -> None:
+        """Hot-load (or replace) a LoRA adapter in the running engine.
+        Shape-stable: the bank gather yields ``[B, in, r]`` leaves whatever
+        the bank size, so no compiled program is invalidated; only the
+        per-adapter merged-cache entry for a replaced name is dropped."""
+        from audioldm_tpu.config import LoRAConfig
+
+        with self._engine_lock:
+            eng = self.engine
+            if eng.bank is None:
+                eng.lora_cfg = LoRAConfig(r=rank, lora_alpha=float(alpha if alpha is not None else rank))
+                eng.bank = AdapterBank.from_adapters({name: adapter_tree}, eng.lora_cfg)
+            elif rank != eng.bank.rank:
+                raise ValueError(
+                    f"adapter rank {rank} != bank rank {eng.bank.rank}; "
+                    "a bank stacks same-rank adapters (engine.py AdapterBank)"
+                )
+            elif name in eng.bank.names:
+                idx = eng.bank.names[name]
+                eng.bank.stacked = jax.tree.map(
+                    lambda bank, leaf: bank.at[idx].set(leaf), eng.bank.stacked, adapter_tree
+                )
+            else:
+                eng.bank.add(name, adapter_tree)
+            eng._merged_cache.pop(name, None)
+
+    def close(self, timeout: float = 30.0) -> None:
+        """Stop the scheduler after draining already-queued requests."""
+        with self._cv:
+            self._running = False
+            self._cv.notify()
+        self._thread.join(timeout)
+
+    def stats(self) -> dict:
+        return {
+            "served": self.served,
+            "batches": len(self.batch_sizes),
+            "mean_batch": float(np.mean(self.batch_sizes)) if self.batch_sizes else 0.0,
+            "pending": len(self._pending),
+            "adapters": sorted(self.engine.bank.names) if self.engine.bank else ["base"],
+        }
+
+    # -- scheduler ------------------------------------------------------------
+    def _take_batch(self) -> Optional[list[_Pending]]:
+        """Under ``_cv``: pop the next batch, or None to keep waiting.
+        The head request anchors the batch: seeded heads go out solo at
+        once; unseeded heads collect same-params unseeded peers until
+        ``max_batch`` or the head's deadline."""
+        if not self._pending:
+            return None
+        head = self._pending[0]
+        if head.seed is not None:
+            self._pending.popleft()
+            return [head]
+        same = [r for r in self._pending if r.seed is None and r.params == head.params]
+        deadline = head.t_submit + self.max_delay_ms / 1000.0
+        if len(same) < self.max_batch and time.monotonic() < deadline and self._running:
+            # keep waiting for the window to fill (or close by deadline)
+            self._cv.wait(timeout=max(0.0, deadline - time.monotonic()))
+            return None
+        batch = same[: self.max_batch]
+        taken = set(map(id, batch))
+        self._pending = deque(r for r in self._pending if id(r) not in taken)
+        return batch
+
+    def _loop(self) -> None:
+        while True:
+            with self._cv:
+                if not self._running and not self._pending:
+                    return
+                if not self._pending:
+                    self._cv.wait(timeout=0.5)
+                batch = self._take_batch()
+            if batch:
+                self._serve(batch)
+
+    def _serve(self, batch: list[_Pending]) -> None:
+        p = batch[0].params
+        if batch[0].seed is not None:
+            seed = batch[0].seed
+        else:
+            seed = self.base_seed + self._batch_ordinal
+            self._batch_ordinal += 1
+        try:
+            with self._engine_lock:
+                wavs = self.engine.generate(
+                    [r.prompt for r in batch],
+                    adapters=[r.adapter for r in batch],
+                    num_inference_steps=p.num_inference_steps,
+                    audio_length_in_s=p.audio_length_in_s,
+                    guidance_scale=p.guidance_scale,
+                    scheduler=p.scheduler,
+                    seed=seed,
+                )
+        except Exception as e:  # noqa: BLE001 — propagate to every waiter
+            for r in batch:
+                r.future.set_exception(e)
+            return
+        self.batch_sizes.append(len(batch))
+        self.served += len(batch)
+        for i, r in enumerate(batch):
+            r.future.set_result(wavs[i])
+
+
+# -- HTTP front end -------------------------------------------------------
+
+
+def _wav_bytes(waveform: np.ndarray, sample_rate: int) -> bytes:
+    from audioldm_tpu.data.wavio import write_wav
+
+    buf = io.BytesIO()
+    write_wav(buf, waveform, sample_rate)  # wave.open accepts file objects
+    return buf.getvalue()
+
+
+def make_server(
+    batcher: Microbatcher,
+    sample_rate: int,
+    host: str = "127.0.0.1",
+    port: int = 0,
+    request_timeout_s: float = 600.0,
+):
+    """Build a ``ThreadingHTTPServer`` over the batcher. Returns the server;
+    call ``serve_forever()`` (blocking) or drive it from a thread. Port 0
+    binds an ephemeral port (``server.server_address[1]``)."""
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet; /v1/stats is the observability
+            pass
+
+        def _json(self, code: int, payload: dict) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _read_body(self) -> dict:
+            n = int(self.headers.get("Content-Length", 0))
+            return json.loads(self.rfile.read(n) or b"{}")
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._json(200, {"ok": True})
+            elif self.path == "/v1/stats":
+                self._json(200, batcher.stats())
+            elif self.path == "/v1/adapters":
+                bank = batcher.engine.bank
+                self._json(200, {"adapters": sorted(bank.names) if bank else ["base"]})
+            else:
+                self._json(404, {"error": f"no route {self.path}"})
+
+        def do_POST(self):
+            try:
+                body = self._read_body()
+            except (ValueError, json.JSONDecodeError) as e:
+                return self._json(400, {"error": f"bad json: {e}"})
+            if self.path == "/v1/generate":
+                return self._generate(body)
+            if self.path == "/v1/adapters":
+                return self._load_adapter(body)
+            self._json(404, {"error": f"no route {self.path}"})
+
+        def _generate(self, body: dict) -> None:
+            if "prompt" not in body:
+                return self._json(400, {"error": "missing 'prompt'"})
+            params = GenParams(
+                num_inference_steps=int(body.get("steps", 50)),
+                audio_length_in_s=float(body.get("seconds", 10.0)),
+                guidance_scale=float(body.get("guidance", 2.5)),
+                scheduler=str(body.get("scheduler", "ddim")),
+            )
+            seed = body.get("seed")
+            t0 = time.monotonic()
+            try:
+                fut = batcher.submit(
+                    str(body["prompt"]), body.get("adapter"), params,
+                    None if seed is None else int(seed),
+                )
+                wav = fut.result(timeout=request_timeout_s)
+            except KeyError as e:
+                return self._json(400, {"error": str(e)})
+            except Exception as e:  # noqa: BLE001 — surface engine errors
+                return self._json(500, {"error": f"{type(e).__name__}: {e}"})
+            self._json(200, {
+                "sample_rate": sample_rate,
+                "samples": int(wav.shape[-1]),
+                "audio_b64": base64.b64encode(_wav_bytes(wav, sample_rate)).decode(),
+                "latency_ms": round((time.monotonic() - t0) * 1e3, 1),
+            })
+
+        def _load_adapter(self, body: dict) -> None:
+            if "name" not in body or "path" not in body:
+                return self._json(400, {"error": "need 'name' and 'path'"})
+            from audioldm_tpu.ckpt import load_safetensors
+            from audioldm_tpu.lora import import_peft_state_dict
+
+            try:
+                tree, rank = import_peft_state_dict(load_safetensors(body["path"]))
+                batcher.load_adapter(body["name"], tree, rank, body.get("alpha"))
+            except (OSError, ValueError, KeyError) as e:
+                return self._json(400, {"error": f"{type(e).__name__}: {e}"})
+            self._json(200, {"loaded": body["name"], "rank": rank,
+                             "adapters": sorted(batcher.engine.bank.names)})
+
+    return ThreadingHTTPServer((host, port), Handler)

@@ -1,0 +1,265 @@
+"""Online serving daemon tests: continuous microbatching (deadline + size
+windows, param isolation, seeded-solo semantics), HTTP surface, and LoRA
+hot-load into a running engine. All over the tiny serve fixtures."""
+
+import base64
+import io
+import json
+import threading
+import urllib.request
+import wave
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from audioldm_tpu.config import DDIMConfig, LoRAConfig
+from audioldm_tpu.lora import init_lora
+from audioldm_tpu.pipeline.generate import random_modules
+from audioldm_tpu.serve import AdapterBank, GenParams, Microbatcher, ServeEngine, make_server
+from tests.test_pipeline import TINY_TEXT, TINY_UNET, TINY_VAE, TINY_VOC
+from tests.test_serve import DummyTokenizer
+
+PARAMS = GenParams(num_inference_steps=2, audio_length_in_s=0.01, guidance_scale=2.0)
+
+
+def _make_engine(with_bank=True):
+    modules = random_modules(
+        jax.random.PRNGKey(0),
+        unet_cfg=TINY_UNET, vae_cfg=TINY_VAE, text_cfg=TINY_TEXT, vocoder_cfg=TINY_VOC,
+        ddim_cfg=DDIMConfig(),
+    )
+    lcfg = LoRAConfig(r=2, lora_alpha=4)
+    bank = None
+    if with_bank:
+        a1 = init_lora(jax.random.PRNGKey(1), modules.unet, lcfg)
+        a1 = jax.tree.map(lambda x: x + 0.05, a1)
+        bank = AdapterBank.from_adapters({"hiphop": a1}, lcfg)
+    return ServeEngine(modules, DummyTokenizer(), lcfg, bank=bank, dtype=jnp.float32,
+                       bucket_sizes=(1, 2, 4))
+
+
+@pytest.fixture(scope="module")
+def engine():
+    return _make_engine()
+
+
+def test_batch_forms_on_max_batch(engine):
+    """Three concurrent unseeded requests with a long window must be served
+    as ONE batch once max_batch=3 fills, and each row must equal the direct
+    engine call for the same batch + the batcher's batch-0 seed."""
+    mb = Microbatcher(engine, max_batch=3, max_delay_ms=10_000.0, base_seed=7)
+    try:
+        prompts = ["hip hop beat", "smooth jazz", "rain sounds"]
+        futs = [mb.submit(p, params=PARAMS) for p in prompts]
+        wavs = np.stack([f.result(timeout=120) for f in futs])
+        assert mb.batch_sizes == [3]
+        direct = engine.generate(
+            prompts, adapters=[None] * 3, num_inference_steps=2,
+            audio_length_in_s=0.01, guidance_scale=2.0, seed=7,
+        )
+        np.testing.assert_allclose(wavs, direct, atol=1e-6)
+    finally:
+        mb.close()
+
+
+def test_deadline_closes_underfull_batch(engine):
+    """A single request must complete after ~max_delay_ms without waiting
+    for the batch to fill."""
+    mb = Microbatcher(engine, max_batch=8, max_delay_ms=30.0)
+    try:
+        wav = mb.submit("hip hop beat", params=PARAMS).result(timeout=120)
+        assert wav.shape == (160,)
+        assert mb.batch_sizes == [1]
+    finally:
+        mb.close()
+
+
+def test_param_groups_never_share_a_batch(engine):
+    """Different generation params are different compile keys: 2+1 requests
+    split into a params-A batch and a params-B batch."""
+    other = GenParams(num_inference_steps=3, audio_length_in_s=0.01, guidance_scale=2.0)
+    # window long enough that co-arriving same-key requests always share,
+    # short enough that the odd-key request's deadline flush is quick
+    mb = Microbatcher(engine, max_batch=2, max_delay_ms=500.0)
+    try:
+        fa = [mb.submit("hip hop beat", params=PARAMS), mb.submit("jazz", params=PARAMS)]
+        fb = mb.submit("rain", params=other)
+        for f in fa + [fb]:
+            f.result(timeout=120)
+        assert sorted(mb.batch_sizes) == [1, 2]
+    finally:
+        mb.close()
+
+
+def test_seeded_request_is_solo_and_reproducible(engine):
+    """An explicit seed pins the exact waveform independent of co-arriving
+    traffic: it must match engine.generate([prompt], seed=s) bit-for-bit."""
+    mb = Microbatcher(engine, max_batch=4, max_delay_ms=10_000.0)
+    try:
+        f_seeded = mb.submit("hip hop beat", params=PARAMS, seed=123)
+        wav = f_seeded.result(timeout=120)
+        # unseeded peers queued behind it still complete (deadline path)
+        f_bg = mb.submit("smooth jazz", params=PARAMS)
+        mb.close()  # drain
+        assert f_bg.result(timeout=1).shape == (160,)
+        solo = engine.generate(["hip hop beat"], num_inference_steps=2,
+                               audio_length_in_s=0.01, guidance_scale=2.0, seed=123)
+        np.testing.assert_array_equal(wav, solo[0])
+        assert 1 in mb.batch_sizes
+    finally:
+        mb.close()
+
+
+def test_unknown_adapter_fails_fast(engine):
+    mb = Microbatcher(engine, max_batch=2, max_delay_ms=20.0)
+    try:
+        with pytest.raises(KeyError, match="unknown adapter"):
+            mb.submit("beat", adapter="nope", params=PARAMS)
+    finally:
+        mb.close()
+
+
+def _post(url, payload):
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"}, method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=180) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=30) as r:
+        return r.status, json.loads(r.read())
+
+
+@pytest.fixture()
+def server(engine, tmp_path):
+    mb = Microbatcher(engine, max_batch=2, max_delay_ms=30.0)
+    srv = make_server(mb, sample_rate=16000, port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    yield base, mb
+    srv.shutdown()
+    srv.server_close()
+    mb.close()
+
+
+def test_http_generate_and_health(server, engine):
+    base, mb = server
+    assert _get(base + "/healthz") == (200, {"ok": True})
+
+    code, resp = _post(base + "/v1/generate", {
+        "prompt": "hip hop beat", "steps": 2, "seconds": 0.01,
+        "guidance": 2.0, "seed": 5,
+    })
+    assert code == 200
+    assert resp["sample_rate"] == 16000 and resp["samples"] == 160
+    with wave.open(io.BytesIO(base64.b64decode(resp["audio_b64"]))) as w:
+        assert w.getframerate() == 16000 and w.getnframes() == 160
+        pcm = np.frombuffer(w.readframes(160), "<i2").astype(np.float32) / 32767.0
+    direct = engine.generate(["hip hop beat"], num_inference_steps=2,
+                             audio_length_in_s=0.01, guidance_scale=2.0, seed=5)
+    np.testing.assert_allclose(pcm, np.clip(direct[0], -1, 1), atol=1.0 / 32767.0)
+
+    code, stats = _get(base + "/v1/stats")
+    assert code == 200 and stats["served"] >= 1
+
+    code, resp = _post(base + "/v1/generate", {"steps": 2})
+    assert code == 400 and "prompt" in resp["error"]
+    code, resp = _post(base + "/v1/generate",
+                       {"prompt": "x", "adapter": "nope", "steps": 2, "seconds": 0.01})
+    assert code == 400 and "unknown adapter" in resp["error"]
+
+
+def test_http_concurrent_requests_batch(server):
+    base, mb = server
+    results = {}
+
+    def call(i):
+        results[i] = _post(base + "/v1/generate", {
+            "prompt": f"beat {i}", "steps": 2, "seconds": 0.01, "guidance": 2.0,
+        })
+
+    threads = [threading.Thread(target=call, args=(i,)) for i in range(2)]
+    before = len(mb.batch_sizes)
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=180)
+    assert all(results[i][0] == 200 for i in range(2))
+    # both served; with max_batch=2 and a shared window they normally ride
+    # one batch, but scheduling may split them — only assert completion + count
+    assert sum(mb.batch_sizes[before:]) == 2
+
+
+def test_hot_load_adapter_http(tmp_path):
+    """POST /v1/adapters loads a PEFT safetensors into a bank-less running
+    engine; subsequent generations with that adapter differ from base and
+    match a merged-offline engine."""
+    from safetensors.numpy import save_file
+
+    from audioldm_tpu.lora import export_peft_state_dict
+
+    engine = _make_engine(with_bank=False)
+    lcfg = LoRAConfig(r=2, lora_alpha=2)
+    lora = init_lora(jax.random.PRNGKey(9), engine.modules.unet, lcfg)
+    lora = jax.tree.map(lambda x: x + 0.08, lora)
+    path = str(tmp_path / "model.safetensors")
+    save_file({k: np.asarray(v) for k, v in export_peft_state_dict(lora).items()}, path)
+
+    mb = Microbatcher(engine, max_batch=1, max_delay_ms=10.0)
+    srv = make_server(mb, sample_rate=16000, port=0)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        code, resp = _post(base + "/v1/generate",
+                           {"prompt": "x", "adapter": "funk", "steps": 2, "seconds": 0.01})
+        assert code == 400  # not loaded yet
+
+        code, resp = _post(base + "/v1/adapters", {"name": "funk", "path": path})
+        assert code == 200 and resp == {"loaded": "funk", "rank": 2,
+                                        "adapters": ["base", "funk"]}
+
+        gen = {"prompt": "hip hop beat", "steps": 2, "seconds": 0.01,
+               "guidance": 2.0, "seed": 3}
+        code, with_lora = _post(base + "/v1/generate", {**gen, "adapter": "funk"})
+        assert code == 200
+        code, plain = _post(base + "/v1/generate", gen)
+        assert code == 200
+        assert with_lora["audio_b64"] != plain["audio_b64"]
+
+        # bad path and rank mismatch are 400s, not 500s
+        code, resp = _post(base + "/v1/adapters", {"name": "x", "path": "/nope.safetensors"})
+        assert code == 400
+    finally:
+        srv.shutdown()
+        srv.server_close()
+        mb.close()
+
+
+def test_load_adapter_replace_invalidates_merged_cache(engine):
+    """Replacing an adapter in-place updates the bank row and drops its
+    merged-cache entry, so the next uniform batch re-merges."""
+    mb = Microbatcher(engine, max_batch=1, max_delay_ms=10.0)
+    try:
+        f1 = mb.submit("hip hop beat", adapter="hiphop", params=PARAMS, seed=1)
+        w1 = f1.result(timeout=120)
+        assert "hiphop" in engine._merged_cache
+        lcfg = LoRAConfig(r=2, lora_alpha=4)
+        newt = init_lora(jax.random.PRNGKey(42), engine.modules.unet, lcfg)
+        newt = jax.tree.map(lambda x: x + 0.2, newt)
+        mb.load_adapter("hiphop", newt, rank=2)
+        assert "hiphop" not in engine._merged_cache
+        w2 = mb.submit("hip hop beat", adapter="hiphop", params=PARAMS, seed=1).result(timeout=120)
+        assert np.max(np.abs(w1 - w2)) > 1e-6
+        with pytest.raises(ValueError, match="rank"):
+            mb.load_adapter("other", newt, rank=4)
+    finally:
+        mb.close()
