@@ -30,12 +30,23 @@ import sys
 import numpy as np
 
 
+def _is_float(s: str) -> bool:
+    try:
+        float(s)
+        return True
+    except ValueError:
+        return False
+
+
 def _add_generate(sub):
     p = sub.add_parser("generate", help="text -> audio")
     p.add_argument("--checkpoint", required=True, help="audioldm checkpoint dir (HF layout)")
     p.add_argument("--prompt", required=True)
     p.add_argument("--negative-prompt", default="")
-    p.add_argument("--lora", default=None, help="PEFT LoRA safetensors to merge at load")
+    p.add_argument("--lora", action="append", default=None, metavar="PATH[:WEIGHT]",
+                   help="PEFT LoRA safetensors to merge at load; repeat with "
+                        ":WEIGHT suffixes for an exact weighted composition "
+                        "(delta = sum_i w_i*(alpha/r)*B_i A_i)")
     p.add_argument("--lora-alpha", type=float, default=None)
     p.add_argument("--steps", type=int, default=50)
     p.add_argument("--seconds", type=float, default=10.0)
@@ -67,15 +78,23 @@ def cmd_generate(args):
     modules = AudioLDMModules.from_checkpoint(args.checkpoint)
     if args.lora:
         from audioldm_tpu.ckpt import load_safetensors
-        from audioldm_tpu.lora import import_peft_state_dict, merge_lora
+        from audioldm_tpu.lora import compose_adapters, import_peft_state_dict, merge_lora
 
-        sd = load_safetensors(args.lora)
-        lora, rank = import_peft_state_dict(sd)
-        alpha = args.lora_alpha if args.lora_alpha is not None else float(rank)
-        lcfg = LoRAConfig(r=rank, lora_alpha=alpha)
-        # zero-overhead inference: merge at load (W += (alpha/r) A B)
-        modules = modules._replace(unet=merge_lora(modules.unet, lora, lcfg))
-        print(f"merged LoRA rank={rank} alpha={alpha} from {args.lora}")
+        parts = []
+        for spec in args.lora:
+            path, sep, w = spec.rpartition(":")
+            if sep and not os.path.exists(spec) and _is_float(w):
+                weight = float(w)
+            else:
+                path, weight = spec, 1.0
+            lora, rank = import_peft_state_dict(load_safetensors(path))
+            alpha = args.lora_alpha if args.lora_alpha is not None else float(rank)
+            parts.append((lora, LoRAConfig(r=rank, lora_alpha=alpha), weight))
+        # zero-overhead inference: merge at load (W += sum_i w_i*(alpha/r)*A_i B_i)
+        composed, ccfg = compose_adapters(parts)
+        modules = modules._replace(unet=merge_lora(modules.unet, composed, ccfg))
+        desc = ", ".join(f"{s} (r={c.r}, w={w})" for (_, c, w), s in zip(parts, args.lora))
+        print(f"merged LoRA: {desc}")
 
     tokenizer = load_tokenizer(os.path.join(args.checkpoint, "tokenizer"))
     tok = tokenizer([args.prompt] * args.batch)
@@ -446,6 +465,9 @@ def _add_serve(sub):
                    help="jsonl file: {\"prompt\": ..., \"adapter\": <name|null>} per line")
     p.add_argument("--lora", action="append", default=[], metavar="NAME=PATH",
                    help="adapter bank entry (PEFT safetensors); repeatable")
+    p.add_argument("--compose", action="append", default=[], metavar="NAME=COMP:W,COMP:W",
+                   help="register a weighted composition of bank adapters as a "
+                        "servable adapter (exact: delta = sum w_i*scale*B_i A_i); repeatable")
     p.add_argument("--steps", type=int, default=50)
     p.add_argument("--seconds", type=float, default=10.0)
     p.add_argument("--guidance", type=float, default=2.5)
@@ -498,6 +520,16 @@ def cmd_serve(args):
         modules, tokenizer, lcfg, bank=bank, mesh=mesh,
         dtype=jnp.float32 if args.fp32 else jnp.bfloat16,
     )
+    for spec in args.compose:
+        name, _, rest = spec.partition("=")
+        if not rest:
+            raise SystemExit(f"--compose expects NAME=COMP:W,COMP:W, got {spec!r}")
+        weights = {}
+        for term in rest.split(","):
+            comp, _, w = term.partition(":")
+            weights[comp] = float(w) if w else 1.0
+        engine.add_composed(name, weights)
+        print(f"composed adapter {name!r} = {weights}")
 
     if (args.port is None) == (args.requests is None):
         raise SystemExit("serve needs exactly one of --requests (offline batch) or --port (HTTP daemon)")

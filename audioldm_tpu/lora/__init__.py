@@ -1,4 +1,5 @@
 from audioldm_tpu.lora.adapter import (
+    compose_adapters,
     export_peft_state_dict,
     import_peft_state_dict,
     init_lora,
@@ -8,6 +9,7 @@ from audioldm_tpu.lora.adapter import (
 )
 
 __all__ = [
+    "compose_adapters",
     "export_peft_state_dict",
     "import_peft_state_dict",
     "init_lora",

@@ -125,6 +125,63 @@ def unmerge_lora(params: dict, lora: dict, cfg: LoRAConfig) -> dict:
     return merge_lora(params, neg, cfg)
 
 
+def compose_adapters(
+    parts: Sequence[tuple[dict, LoRAConfig, float]],
+) -> tuple[dict, LoRAConfig]:
+    """EXACT weighted composition of LoRA adapters into one adapter
+    (peft's ``add_weighted_adapter(combination_type="cat")`` capability —
+    beyond the reference, which only ever loads a single adapter at
+    script/inference/generate_audio.py:21-39).
+
+    ``parts`` is a sequence of ``(adapter_tree, cfg, weight)``. The composed
+    delta is ``sum_i w_i * (alpha_i/r_i) * A_i B_i`` — represented without
+    approximation by concatenating along the rank axis with each ``B_i``
+    pre-scaled by ``w_i * scale_i``, and a composed config whose scale is 1
+    (``lora_alpha == r``). Adapters may target different module subsets; a
+    path missing from some adapters simply concatenates fewer ranks there.
+
+    Returns ``(composed_tree, composed_cfg)`` — feed to ``merge_lora`` for
+    zero-overhead inference or serve unmerged like any other adapter."""
+    if not parts:
+        raise ValueError("compose_adapters needs at least one (tree, cfg, weight)")
+
+    def paths_of(tree: dict, path: tuple[str, ...] = ()) -> Iterator[tuple[str, ...]]:
+        for k, v in tree.items():
+            if isinstance(v, dict) and "a" in v and "b" in v:
+                yield path + (k,)
+            elif isinstance(v, dict):
+                yield from paths_of(v, path + (k,))
+
+    all_paths: list[tuple[str, ...]] = []
+    for tree, _, _ in parts:
+        for p in paths_of(tree):
+            if p not in all_paths:
+                all_paths.append(p)
+
+    composed: dict = {}
+    for p in all_paths:
+        a_pieces, b_pieces = [], []
+        for tree, cfg, w in parts:
+            try:
+                node = _get_path(tree, p)
+            except KeyError:
+                continue
+            a_pieces.append(node["a"].astype(jnp.float32))
+            b_pieces.append(float(w) * cfg.scale * node["b"].astype(jnp.float32))
+        _set_path(composed, p, {
+            "a": jnp.concatenate(a_pieces, axis=1),
+            "b": jnp.concatenate(b_pieces, axis=0),
+        })
+
+    r_total = sum(cfg.r for _, cfg, _ in parts)
+    targets: list[str] = []
+    for _, cfg, _ in parts:
+        targets.extend(t for t in cfg.target_modules if t not in targets)
+    return composed, LoRAConfig(
+        r=r_total, lora_alpha=float(r_total), target_modules=tuple(targets)
+    )
+
+
 # ---------------------------------------------------------------------------
 # PEFT state-dict bridge
 # ---------------------------------------------------------------------------

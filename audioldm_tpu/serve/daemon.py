@@ -57,6 +57,10 @@ class GenParams:
     audio_length_in_s: float = 10.0
     guidance_scale: float = 2.5
     scheduler: str = "ddim"
+    # None -> the engine-level default. A grouping field (not a compile key):
+    # the CFG uncond embedding is one shared row per batch, so requests in a
+    # batch must agree on it.
+    negative_prompt: Optional[str] = None
 
 
 @dataclass
@@ -107,11 +111,11 @@ class Microbatcher:
     ) -> Future:
         """Enqueue one request; the Future resolves to a float32 waveform
         ``[samples]``. Unknown adapters fail fast here (not mid-batch)."""
-        if adapter not in (None, "base"):
+        if not self.engine.has_adapter(adapter):
             bank = self.engine.bank
-            if bank is None or adapter not in bank.names:
-                have = sorted(bank.names) if bank is not None else []
-                raise KeyError(f"unknown adapter {adapter!r}; loaded: {have}")
+            have = sorted(bank.names) if bank is not None else []
+            raise KeyError(f"unknown adapter {adapter!r}; loaded: "
+                           f"{have} composed: {sorted(self.engine.composed)}")
         fut: Future = Future()
         req = _Pending(prompt, adapter, params, seed, fut, time.monotonic())
         with self._cv:
@@ -147,6 +151,12 @@ class Microbatcher:
                 eng.bank.add(name, adapter_tree)
             eng._merged_cache.pop(name, None)
 
+    def compose_adapter(self, name: str, weights: dict) -> None:
+        """Register a weighted multi-LoRA composition in the running engine
+        (engine.add_composed — merged once, then zero-overhead serving)."""
+        with self._engine_lock:
+            self.engine.add_composed(name, {str(k): float(v) for k, v in weights.items()})
+
     def close(self, timeout: float = 30.0) -> None:
         """Stop the scheduler after draining already-queued requests."""
         with self._cv:
@@ -161,6 +171,7 @@ class Microbatcher:
             "mean_batch": float(np.mean(self.batch_sizes)) if self.batch_sizes else 0.0,
             "pending": len(self._pending),
             "adapters": sorted(self.engine.bank.names) if self.engine.bank else ["base"],
+            "composed": sorted(self.engine.composed),
         }
 
     # -- scheduler ------------------------------------------------------------
@@ -214,6 +225,7 @@ class Microbatcher:
                     guidance_scale=p.guidance_scale,
                     scheduler=p.scheduler,
                     seed=seed,
+                    negative_prompt=p.negative_prompt,
                 )
         except Exception as e:  # noqa: BLE001 — propagate to every waiter
             for r in batch:
@@ -271,7 +283,8 @@ def make_server(
                 self._json(200, batcher.stats())
             elif self.path == "/v1/adapters":
                 bank = batcher.engine.bank
-                self._json(200, {"adapters": sorted(bank.names) if bank else ["base"]})
+                self._json(200, {"adapters": sorted(bank.names) if bank else ["base"],
+                                 "composed": sorted(batcher.engine.composed)})
             else:
                 self._json(404, {"error": f"no route {self.path}"})
 
@@ -289,11 +302,13 @@ def make_server(
         def _generate(self, body: dict) -> None:
             if "prompt" not in body:
                 return self._json(400, {"error": "missing 'prompt'"})
+            neg = body.get("negative_prompt")
             params = GenParams(
                 num_inference_steps=int(body.get("steps", 50)),
                 audio_length_in_s=float(body.get("seconds", 10.0)),
                 guidance_scale=float(body.get("guidance", 2.5)),
                 scheduler=str(body.get("scheduler", "ddim")),
+                negative_prompt=None if neg is None else str(neg),
             )
             seed = body.get("seed")
             t0 = time.monotonic()
@@ -315,8 +330,19 @@ def make_server(
             })
 
         def _load_adapter(self, body: dict) -> None:
-            if "name" not in body or "path" not in body:
-                return self._json(400, {"error": "need 'name' and 'path'"})
+            if "name" not in body or ("path" not in body) == ("compose" not in body):
+                return self._json(400, {"error":
+                    "need 'name' plus exactly one of 'path' (load a PEFT "
+                    "safetensors) or 'compose' ({component: weight} map)"})
+            if "compose" in body:
+                try:
+                    batcher.compose_adapter(body["name"], dict(body["compose"]))
+                except (TypeError, ValueError, KeyError) as e:
+                    return self._json(400, {"error": f"{type(e).__name__}: {e}"})
+                return self._json(200, {"composed": body["name"],
+                                        "weights": body["compose"],
+                                        "adapters": sorted(batcher.engine.bank.names),
+                                        "composed_all": sorted(batcher.engine.composed)})
             from audioldm_tpu.ckpt import load_safetensors
             from audioldm_tpu.lora import import_peft_state_dict
 

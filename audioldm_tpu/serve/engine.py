@@ -132,6 +132,11 @@ class ServeEngine:
         # cache (the measured winner); False keeps the rank-r gathered path
         self.split_mixed_adapters = split_mixed_adapters
         self.bucket_sizes = tuple(sorted(bucket_sizes))
+        # composed (weighted multi-LoRA) adapters: name -> component weights.
+        # Served from the merged cache only — they have no bank slot (their
+        # rank is the sum of the component ranks, and merged serving is
+        # exact + zero-overhead; lora/adapter.py compose_adapters)
+        self.composed: dict[str, dict[str, float]] = {}
         self._merged_cache: dict[str, AudioLDMModules] = {}
         self._fns: dict = {}
         self._rng_counter = 0  # monotone across flushes: no seed collisions
@@ -256,9 +261,41 @@ class ServeEngine:
         with ThreadPoolExecutor(max(1, len(bs))) as ex:
             list(ex.map(_one, bs))
 
-    def _tokenize(self, prompts: Sequence[str]):
+    def has_adapter(self, name: Optional[str]) -> bool:
+        """True if ``name`` can be served: base traffic, a bank adapter, or
+        a composed (weighted multi-LoRA) adapter."""
+        if name in (None, "base"):
+            return True
+        return (self.bank is not None and name in self.bank.names) or name in self.composed
+
+    def add_composed(self, name: str, weights: dict[str, float]) -> None:
+        """Register a weighted composition of bank adapters under ``name``
+        (delta = sum_i w_i * scale * B_i A_i — exact; compose_adapters).
+        The composition is merged into base weights immediately and served
+        from the merged cache with zero adapter overhead; no compiled
+        program is touched (the module bundle is a jit argument)."""
+        from audioldm_tpu.lora import compose_adapters, merge_lora
+
+        if self.bank is None:
+            raise ValueError("add_composed needs an AdapterBank with the component adapters")
+        unknown = sorted((set(weights) - set(self.bank.names)) | ({"base"} & set(weights)))
+        if unknown:
+            raise KeyError(f"cannot compose from {unknown}; bank has "
+                           f"{sorted(n for n in self.bank.names if n != 'base')}")
+        parts = []
+        for comp, w in weights.items():
+            idx = self.bank.names[comp]
+            adapter = jax.tree.map(lambda bank: bank[idx], self.bank.stacked)
+            parts.append((adapter, self.lora_cfg, float(w)))
+        composed, ccfg = compose_adapters(parts)
+        self._merged_cache[name] = self.modules._replace(
+            unet=merge_lora(self.modules.unet, composed, ccfg)
+        )
+        self.composed[name] = dict(weights)
+
+    def _tokenize(self, prompts: Sequence[str], negative_prompt: str):
         tok = self.tokenizer(list(prompts))
-        u = self.tokenizer([self.negative_prompt])
+        u = self.tokenizer([negative_prompt])
         return (
             jnp.asarray(tok["input_ids"]),
             jnp.asarray(tok["attention_mask"]),
@@ -277,9 +314,14 @@ class ServeEngine:
         seed: int = 0,
         scheduler: str = "ddim",
         rng_key: Optional[jax.Array] = None,
+        negative_prompt: Optional[str] = None,
     ) -> np.ndarray:
         """Batched generation; ``adapters[i]`` selects the LoRA for prompt i
-        (None/"base" = frozen base model). Returns ``[B, samples]`` float32.
+        (None/"base" = frozen base model, a bank name, or a composed name
+        registered via ``add_composed``). ``negative_prompt`` overrides the
+        engine-level default for this batch (the CFG uncond embedding is
+        shared batch-wide, matching the pipeline's one-uncond-row design).
+        Returns ``[B, samples]`` float32.
 
         The batch is padded to the next configured bucket size (compile once
         per bucket, not per queue length); uniform-adapter batches route
@@ -293,6 +335,7 @@ class ServeEngine:
             prompts, adapters, num_inference_steps, audio_length_in_s,
             guidance_scale, scheduler,
             jax.random.PRNGKey(seed) if rng_key is None else rng_key,
+            negative_prompt=negative_prompt,
         )
         return self._assemble(parts, len(prompts))
 
@@ -317,6 +360,7 @@ class ServeEngine:
         guidance_scale: float,
         scheduler: str,
         rng: jax.Array,
+        negative_prompt: Optional[str] = None,
     ) -> list:
         """Dispatch the batch WITHOUT fetching: returns a list of
         (device_array, row_indices) pairs whose union covers the batch.
@@ -334,14 +378,21 @@ class ServeEngine:
         Under a dp mesh sub-batches may not divide the mesh, so the split
         is disabled and mixed batches keep the rank-r path."""
         b = len(prompts)
-        if adapters is not None and self.bank is None and any(
-            a not in (None, "base") for a in adapters
-        ):
-            raise ValueError(
-                f"adapters {sorted(set(a for a in adapters if a))} requested "
-                "but no AdapterBank is configured — serving would silently "
-                "fall back to base weights"
-            )
+        neg = self.negative_prompt if negative_prompt is None else negative_prompt
+        if adapters is not None:
+            missing = sorted({str(a) for a in adapters if not self.has_adapter(a)})
+            if missing and self.bank is None and not self.composed:
+                raise ValueError(
+                    f"adapters {missing} requested but no AdapterBank is "
+                    "configured — serving would silently fall back to base weights"
+                )
+            if missing:
+                raise ValueError(
+                    f"unknown adapter(s) {missing}; serving would silently "
+                    f"fall back to base weights. Loaded: bank="
+                    f"{sorted(self.bank.names) if self.bank else []} "
+                    f"composed={sorted(self.composed)}"
+                )
         max_bucket = self.bucket_sizes[-1]
         if b > max_bucket:
             # oversized batches chunk to the largest bucket: keeps the
@@ -352,7 +403,7 @@ class ServeEngine:
                     list(prompts[i : i + max_bucket]),
                     None if adapters is None else list(adapters[i : i + max_bucket]),
                     num_inference_steps, audio_length_in_s, guidance_scale,
-                    scheduler, jax.random.fold_in(rng, i),
+                    scheduler, jax.random.fold_in(rng, i), negative_prompt=neg,
                 )
                 parts.extend((arr, [i + r for r in rows]) for arr, rows in sub)
             return parts
@@ -386,21 +437,21 @@ class ServeEngine:
                 sub = self._generate_async(
                     [prompts[i] for i in rows], [name] * len(rows),
                     num_inference_steps, audio_length_in_s, guidance_scale,
-                    scheduler, jax.random.fold_in(rng, g),
+                    scheduler, jax.random.fold_in(rng, g), negative_prompt=neg,
                 )
                 parts.extend((arr, [rows[r] for r in sub_rows]) for arr, sub_rows in sub)
             return parts
 
         bucket = self._bucket(b)
         if bucket > b:
-            prompts = list(prompts) + [self.negative_prompt] * (bucket - b)
+            prompts = list(prompts) + [neg] * (bucket - b)
             if names is not None:
                 # pad rows are trimmed from the output, so their adapter is
                 # arbitrary — reuse the first request's adapter to keep
                 # uniform chunks on the merged-cache fast path even when the
                 # chunk underfills its bucket
                 names = list(names) + [names[0]] * (bucket - b)
-        ids, mask, u_ids, u_mask = self._tokenize(prompts)
+        ids, mask, u_ids, u_mask = self._tokenize(prompts, neg)
         do_cfg = guidance_scale != 1.0
         rows = list(range(b))
 
@@ -415,6 +466,14 @@ class ServeEngine:
             return [(fn(mods, ids, mask, u_ids, u_mask, rng), rows)]
 
         # rank-r gathered path (mixed batch under a dp mesh)
+        in_bank = [n for n in set(names) if n in self.composed and n not in self.bank.names]
+        if in_bank:
+            raise ValueError(
+                f"composed adapter(s) {sorted(in_bank)} cannot ride the rank-r "
+                "gathered path (their rank is the sum of component ranks; the "
+                "bank stacks one fixed rank) — serve them in uniform batches "
+                "or enable split_mixed_adapters off-mesh"
+            )
         idx = self.bank.indices(names)
         # NB: rank-r unmerged application beats FULLY-dense per-request
         # ΔW=AB here (measured 1.16 vs 1.29 s/clip): at the upper UNet

@@ -84,6 +84,18 @@ def test_cli_generate_with_lora(tiny_checkpoint, tmp_path):
     b, _ = read_wav(base)
     assert np.max(np.abs(a - b)) > 1e-5  # merged adapter changed the output
 
+    # weighted composition: repeated --lora PATH:WEIGHT merges
+    # sum_i w_i*(alpha/r)*B_i A_i (exactness unit-tested in test_lora.py);
+    # at w=0.5+0.5 of the SAME adapter the merge equals the w=1 merge
+    comp = str(tmp_path / "gen_comp.wav")
+    cli.main([
+        "generate", "--checkpoint", tiny_checkpoint, "--prompt", "hip hop music",
+        "--lora", f"{lora_path}:0.5", "--lora", f"{lora_path}:0.5", "--lora-alpha", "4",
+        "--steps", "2", "--seconds", "0.01", "--output", comp, "--fp32",
+    ])
+    c, _ = read_wav(comp)
+    np.testing.assert_allclose(c, a, atol=2e-4)
+
 
 def test_cli_slice(tmp_path, rng):
     wav_dir = tmp_path / "wavs"

@@ -263,3 +263,56 @@ def test_load_adapter_replace_invalidates_merged_cache(engine):
             mb.load_adapter("other", newt, rank=4)
     finally:
         mb.close()
+
+
+def test_http_compose_adapter_and_generate(server):
+    """POST /v1/adapters with a 'compose' map registers a weighted
+    composition servable by name; output equals the engine's direct
+    composed-adapter seeded-solo call."""
+    base, mb = server
+    code, resp = _post(base + "/v1/adapters", {
+        "name": "blend", "compose": {"hiphop": 0.6},
+    })
+    assert code == 200 and resp["composed"] == "blend"
+    assert "blend" in resp["composed_all"]
+    code, listing = _get(base + "/v1/adapters")
+    assert code == 200 and "blend" in listing["composed"]
+
+    code, resp = _post(base + "/v1/generate", {
+        "prompt": "hip hop beat", "adapter": "blend", "steps": 2,
+        "seconds": 0.01, "guidance": 2.0, "seed": 3,
+    })
+    assert code == 200, resp
+    with wave.open(io.BytesIO(base64.b64decode(resp["audio_b64"]))) as w:
+        got = np.frombuffer(w.readframes(w.getnframes()), "<i2").astype(np.float32) / 32767.0
+    direct = mb.engine.generate(
+        ["hip hop beat"], adapters=["blend"], num_inference_steps=2,
+        audio_length_in_s=0.01, guidance_scale=2.0, seed=3,
+    )
+    np.testing.assert_allclose(got, np.clip(direct[0], -1, 1), atol=1.0 / 32767.0)
+
+    # composing from an unknown component is a 400, not a crash
+    code, resp = _post(base + "/v1/adapters", {"name": "bad", "compose": {"ghost": 1.0}})
+    assert code == 400 and "cannot compose" in resp["error"]
+    # need exactly one of path/compose
+    code, resp = _post(base + "/v1/adapters", {"name": "bad"})
+    assert code == 400
+
+
+def test_http_negative_prompt_isolation(server):
+    """Requests with different negative prompts never share a batch, and the
+    negative prompt actually reaches the engine (different output)."""
+    base, mb = server
+    body = {"prompt": "hip hop beat", "steps": 2, "seconds": 0.01,
+            "guidance": 2.0, "seed": 11}
+    _, r_default = _post(base + "/v1/generate", body)
+    _, r_neg = _post(base + "/v1/generate", {**body, "negative_prompt": "low quality"})
+    assert r_default["audio_b64"] != r_neg["audio_b64"]
+    # grouping: two concurrent submits with different negs form two batches
+    p_a = GenParams(2, 0.01, 2.0, "ddim", None)
+    p_b = GenParams(2, 0.01, 2.0, "ddim", "noisy")
+    n0 = len(mb.batch_sizes)
+    futs = [mb.submit("beat", params=p_a), mb.submit("beat", params=p_b)]
+    for f in futs:
+        f.result(timeout=120)
+    assert len(mb.batch_sizes) == n0 + 2

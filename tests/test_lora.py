@@ -147,3 +147,70 @@ def test_import_accelerate_save_state_format():
     assert rank == 2
     node = tree["down_blocks"]["0"]["attentions"]["0"]["transformer_blocks"]["0"]["attn1"]["to_q"]
     np.testing.assert_allclose(np.asarray(node["a"]), a.T)
+
+
+def test_compose_adapters_exact():
+    """compose_adapters represents sum_i w_i*(alpha_i/r_i)*A_i B_i EXACTLY via
+    rank concatenation: merging the composition equals sequentially merging
+    each adapter with its B pre-scaled by w_i (merge is additive in W)."""
+    from audioldm_tpu.lora import compose_adapters
+
+    params = unet_lib.init_unet(jax.random.PRNGKey(0), TINY_UNET)
+    cfg1 = LoRAConfig(r=2, lora_alpha=4)  # scale 2, targets (to_q, to_v)
+    cfg2 = LoRAConfig(r=3, lora_alpha=3, target_modules=("to_q",))  # scale 1, subset
+    mk = lambda key, cfg: jax.tree.map(
+        lambda x: x + 0.05 * jax.random.normal(jax.random.PRNGKey(99), x.shape),
+        init_lora(jax.random.PRNGKey(key), params, cfg),
+    )
+    l1, l2 = mk(1, cfg1), mk(2, cfg2)
+    w1, w2 = 0.7, -0.3
+
+    composed, ccfg = compose_adapters([(l1, cfg1, w1), (l2, cfg2, w2)])
+    assert ccfg.r == 5 and ccfg.scale == 1.0
+    assert tuple(ccfg.target_modules) == ("to_q", "to_v")
+    merged = merge_lora(params, composed, ccfg)
+
+    def scale_b(tree, w):
+        def walk(t):
+            return {
+                k: ({"a": v["a"], "b": w * v["b"]} if isinstance(v, dict) and "a" in v else walk(v))
+                for k, v in t.items()
+            }
+        return walk(tree)
+
+    expected = merge_lora(merge_lora(params, scale_b(l1, w1), cfg1), scale_b(l2, w2), cfg2)
+    for (pa, va), (pb, vb) in zip(
+        jax.tree_util.tree_flatten_with_path(merged)[0],
+        jax.tree_util.tree_flatten_with_path(expected)[0],
+    ):
+        assert pa == pb
+        np.testing.assert_allclose(np.asarray(va), np.asarray(vb), atol=1e-5, err_msg=str(pa))
+
+    # rank concat shape check at a to_q path (targeted by both: 2+3) vs a
+    # to_v path (only cfg1: rank 2)
+    def ranks_of(tree, name):
+        out = set()
+
+        def walk(t):
+            for k, v in t.items():
+                if isinstance(v, dict) and "a" in v:
+                    if k == name:
+                        out.add(v["a"].shape[-1])
+                elif isinstance(v, dict):
+                    walk(v)
+
+        walk(tree)
+        return out
+
+    assert ranks_of(composed, "to_q") == {5} and ranks_of(composed, "to_v") == {2}
+
+    # single part, weight 1 == plain merge_lora
+    solo, scfg = compose_adapters([(l1, cfg1, 1.0)])
+    for (pa, va), (pb, vb) in zip(
+        jax.tree_util.tree_flatten_with_path(merge_lora(params, solo, scfg))[0],
+        jax.tree_util.tree_flatten_with_path(merge_lora(params, l1, cfg1))[0],
+    ):
+        np.testing.assert_allclose(np.asarray(va), np.asarray(vb), atol=1e-6)
+
+    with pytest.raises(ValueError, match="at least one"):
+        compose_adapters([])

@@ -456,3 +456,87 @@ def test_warmup_precompiles_buckets_concurrently(engine):
     assert eng.traces == t0  # both buckets + vocoder already compiled
     ref = engine.generate(["a b", "c d"], adapters=["hiphop"] * 2, seed=0, **kw)
     np.testing.assert_array_equal(np.asarray(wav), np.asarray(ref))
+
+
+def test_composed_adapter_serves_from_merged_cache(engine):
+    """add_composed registers an EXACT weighted multi-LoRA merge served with
+    zero adapter overhead; output must equal a fresh engine whose base UNet
+    has the composition merged manually (lora/adapter.py compose_adapters)."""
+    from audioldm_tpu.lora import compose_adapters, merge_lora
+
+    engine.add_composed("fusion", {"hiphop": 0.7, "jazz": 0.3})
+    assert engine.has_adapter("fusion") and not engine.has_adapter("nope")
+    out = engine.generate(["hip hop beat"], adapters=["fusion"], **GEN)
+
+    parts = []
+    for name, w in (("hiphop", 0.7), ("jazz", 0.3)):
+        idx = engine.bank.names[name]
+        adapter = jax.tree.map(lambda bnk: bnk[idx], engine.bank.stacked)
+        parts.append((adapter, engine.lora_cfg, w))
+    composed, ccfg = compose_adapters(parts)
+    manual = ServeEngine(
+        engine.modules._replace(unet=merge_lora(engine.modules.unet, composed, ccfg)),
+        DummyTokenizer(), engine.lora_cfg, dtype=jnp.float32,
+    )
+    ref = manual.generate(["hip hop beat"], **GEN)
+    np.testing.assert_allclose(out, ref, atol=1e-6)
+    # composition differs from both components
+    hip = engine.generate(["hip hop beat"], adapters=["hiphop"], **GEN)
+    assert np.max(np.abs(out - hip)) > 1e-6
+
+
+def test_composed_in_mixed_batch_rides_split_route(engine):
+    """A mixed batch containing a composed name splits into per-adapter
+    uniform sub-batches (the composed group hits the merged cache)."""
+    engine.add_composed("fusion2", {"hiphop": 0.5, "jazz": 0.5})
+    prompts = ["hip hop beat", "smooth jazz"]
+    mixed = engine.generate(prompts, adapters=["fusion2", "base"], **GEN)
+    key = jax.random.PRNGKey(GEN["seed"])
+    gen = {k: v for k, v in GEN.items() if k != "seed"}
+    # sorted group order: base (g=0), fusion2 (g=1)
+    base_row = engine.generate([prompts[1]], adapters=["base"],
+                               rng_key=jax.random.fold_in(key, 0), **gen)
+    fus_row = engine.generate([prompts[0]], adapters=["fusion2"],
+                              rng_key=jax.random.fold_in(key, 1), **gen)
+    np.testing.assert_allclose(mixed[1], base_row[0], atol=1e-6)
+    np.testing.assert_allclose(mixed[0], fus_row[0], atol=1e-6)
+
+
+def test_composed_rank_r_path_raises(engine):
+    """With the mixed-split route disabled, a composed name cannot ride the
+    rank-r gathered path (its rank exceeds the bank's) — clear error, not a
+    silent fallback."""
+    eng = ServeEngine(
+        engine.modules, DummyTokenizer(), engine.lora_cfg, bank=engine.bank,
+        dtype=jnp.float32, split_mixed_adapters=False,
+    )
+    eng.add_composed("mix", {"hiphop": 1.0})
+    with pytest.raises(ValueError, match="rank-r"):
+        eng.generate(["a", "b"], adapters=["mix", "jazz"], **GEN)
+
+
+def test_unknown_adapter_fails_fast_with_bank(engine):
+    with pytest.raises(ValueError, match="unknown adapter"):
+        engine.generate(["x"], adapters=["no-such"], **GEN)
+
+
+def test_compose_validates_components(engine):
+    with pytest.raises(KeyError, match="cannot compose"):
+        engine.add_composed("bad", {"hiphop": 0.5, "ghost": 0.5})
+    with pytest.raises(KeyError, match="cannot compose"):
+        engine.add_composed("bad", {"base": 1.0})
+
+
+def test_per_request_negative_prompt(engine):
+    """generate(negative_prompt=...) overrides the engine default for the
+    batch: output equals an engine constructed with that negative prompt,
+    and differs from the default-neg output (CFG uncond row changes)."""
+    out_over = engine.generate(["hip hop beat"], negative_prompt="low quality", **GEN)
+    eng_neg = ServeEngine(
+        engine.modules, DummyTokenizer(), engine.lora_cfg, bank=engine.bank,
+        dtype=jnp.float32, negative_prompt="low quality",
+    )
+    ref = eng_neg.generate(["hip hop beat"], **GEN)
+    np.testing.assert_allclose(out_over, ref, atol=1e-6)
+    out_default = engine.generate(["hip hop beat"], **GEN)
+    assert np.max(np.abs(out_over - out_default)) > 1e-7
