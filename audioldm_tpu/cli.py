@@ -54,6 +54,13 @@ def _add_generate(sub):
     p.add_argument("--scheduler", default="ddim", choices=["ddim", "dpm++", "lcm"])
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--batch", type=int, default=1)
+    p.add_argument("--best-of", type=int, default=None,
+                   help="generate N candidates in one batch and keep the one the CLAP "
+                        "model scores highest against the prompt (requires --clap; "
+                        "automatic-scoring analog of the reference's validation CLAP "
+                        "formula, train_audioldm_lora.py:128-137)")
+    p.add_argument("--clap", default=None,
+                   help="CLAP model dir (or a checkpoint dir holding clap/) for --best-of")
     p.add_argument("--output", default="output.wav")
     p.add_argument("--fp32", action="store_true")
     p.add_argument("--tp", type=int, default=1,
@@ -96,6 +103,13 @@ def cmd_generate(args):
         desc = ", ".join(f"{s} (r={c.r}, w={w})" for (_, c, w), s in zip(parts, args.lora))
         print(f"merged LoRA: {desc}")
 
+    if args.best_of is not None:
+        if args.best_of < 2 or args.batch != 1:
+            raise SystemExit("--best-of needs N >= 2 and --batch 1 (candidates fill the batch)")
+        if not args.clap:
+            raise SystemExit("--best-of needs --clap (CLAP model dir for reranking)")
+        args.batch = args.best_of
+
     tokenizer = load_tokenizer(os.path.join(args.checkpoint, "tokenizer"))
     tok = tokenizer([args.prompt] * args.batch)
     unc = tokenizer([args.negative_prompt])
@@ -131,7 +145,19 @@ def cmd_generate(args):
         )
     )
     sr = modules.vocoder_cfg.sampling_rate
-    if args.batch == 1:
+    if args.best_of is not None:
+        from audioldm_tpu.eval.scoring import ClapScorer
+        from audioldm_tpu.ops import resample
+
+        scorer = ClapScorer.from_checkpoint(args.clap)
+        wav48 = [np.asarray(resample(jnp.asarray(w), sr, 48000)) for w in wav]
+        scores = scorer.clap_scores(wav48, args.prompt)
+        best = int(np.argmax(scores))
+        write_wav(args.output, wav[best], sr)
+        print(f"best-of-{args.best_of}: kept candidate {best} "
+              f"(clap {scores[best]:.4f}; all: {[round(float(s), 4) for s in scores]})")
+        print(f"wrote {args.output}")
+    elif args.batch == 1:
         write_wav(args.output, wav[0], sr)
         print(f"wrote {args.output}")
     else:

@@ -133,6 +133,38 @@ def tiny_clap_dir(tmp_path_factory):
     return d
 
 
+def test_cli_generate_best_of(tiny_checkpoint, tiny_clap_dir, tmp_path):
+    """--best-of N generates N candidates in one batch and keeps the
+    CLAP-highest: the kept wav must be one of the --batch N candidates from
+    the same seed (identical latents), and the guard rails must fire."""
+    cand = str(tmp_path / "cand.wav")
+    cli.main([
+        "generate", "--checkpoint", tiny_checkpoint, "--prompt", "hip hop music",
+        "--steps", "2", "--seconds", "0.01", "--batch", "2", "--seed", "5",
+        "--output", cand, "--fp32",
+    ])
+    c0, _ = read_wav(str(tmp_path / "cand_0.wav"))
+    c1, _ = read_wav(str(tmp_path / "cand_1.wav"))
+    assert not np.array_equal(c0, c1)  # per-row latents differ
+
+    best = str(tmp_path / "best.wav")
+    cli.main([
+        "generate", "--checkpoint", tiny_checkpoint, "--prompt", "hip hop music",
+        "--steps", "2", "--seconds", "0.01", "--best-of", "2", "--seed", "5",
+        "--clap", tiny_clap_dir, "--output", best, "--fp32",
+    ])
+    b, _ = read_wav(best)
+    assert np.array_equal(b, c0) or np.array_equal(b, c1)
+
+    with pytest.raises(SystemExit, match="--clap"):
+        cli.main(["generate", "--checkpoint", tiny_checkpoint, "--prompt", "x",
+                  "--best-of", "2", "--output", best])
+    with pytest.raises(SystemExit, match="--batch 1"):
+        cli.main(["generate", "--checkpoint", tiny_checkpoint, "--prompt", "x",
+                  "--best-of", "2", "--batch", "2", "--clap", tiny_clap_dir,
+                  "--output", best])
+
+
 def test_cli_score(tiny_clap_dir, tmp_path, rng):
     gen_dir = tmp_path / "gen"
     ref_dir = tmp_path / "ref"
