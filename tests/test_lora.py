@@ -214,3 +214,54 @@ def test_compose_adapters_exact():
 
     with pytest.raises(ValueError, match="at least one"):
         compose_adapters([])
+
+
+def test_compose_adapters_matches_peft_add_weighted_cat(rng):
+    """compose_adapters must reproduce peft's add_weighted_adapter
+    (combination_type="cat" — peft's exact method) with shared weights:
+    two adapters of different rank/alpha, mixed 0.7/0.3."""
+    from peft import LoraConfig as PeftLoraConfig
+    from peft import get_peft_model, get_peft_model_state_dict
+
+    class Tiny(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.to_q = torch.nn.Linear(8, 8)
+
+        def forward(self, x):
+            return self.to_q(x)
+
+    torch.manual_seed(0)
+    base = Tiny()
+    cfg_one = PeftLoraConfig(r=2, lora_alpha=2, init_lora_weights="gaussian", target_modules=["to_q"])
+    cfg_two = PeftLoraConfig(r=3, lora_alpha=6, init_lora_weights="gaussian", target_modules=["to_q"])
+    pm = get_peft_model(base, cfg_one, adapter_name="one")
+    pm.add_adapter("two", cfg_two)
+    with torch.no_grad():
+        for n, p in pm.named_parameters():
+            if "lora_B" in n:
+                p.normal_(0, 0.1)
+
+    sd_one = {k: v.detach().numpy() for k, v in get_peft_model_state_dict(pm, adapter_name="one").items()}
+    sd_two = {k: v.detach().numpy() for k, v in get_peft_model_state_dict(pm, adapter_name="two").items()}
+
+    pm.add_weighted_adapter(["one", "two"], [0.7, 0.3], "mix", combination_type="cat")
+    pm.set_adapter("mix")
+    x = rng.standard_normal((3, 8)).astype(np.float32)
+    with torch.no_grad():
+        expected = pm(torch.from_numpy(x)).numpy()
+
+    from audioldm_tpu.lora import compose_adapters
+
+    t_one, r_one = import_peft_state_dict(sd_one)
+    t_two, r_two = import_peft_state_dict(sd_two)
+    assert (r_one, r_two) == (2, 3)
+    composed, ccfg = compose_adapters([
+        (t_one, LoRAConfig(r=2, lora_alpha=2), 0.7),
+        (t_two, LoRAConfig(r=3, lora_alpha=6), 0.3),
+    ])
+    w = base.to_q.weight.detach().numpy().T
+    b = base.to_q.bias.detach().numpy()
+    node = composed["to_q"]
+    ours = x @ w + b + ccfg.scale * (x @ np.asarray(node["a"]) @ np.asarray(node["b"]))
+    np.testing.assert_allclose(ours, expected, atol=1e-5)
