@@ -62,6 +62,13 @@ def _add_generate(sub):
     p.add_argument("--clap", default=None,
                    help="CLAP model dir (or a checkpoint dir holding clap/) for --best-of")
     p.add_argument("--output", default="output.wav")
+    p.add_argument("--window-seconds", type=float, default=None,
+                   help="long-form clips: MultiDiffusion windowed denoising — predict eps on "
+                        "overlapping windows of this many seconds (one batched UNet call per "
+                        "step) and average the overlaps; linear instead of quadratic cost in "
+                        "clip length. Off = exact reference sampling")
+    p.add_argument("--window-overlap", type=float, default=0.5,
+                   help="fraction of window overlap for --window-seconds (default 0.5)")
     p.add_argument("--fp32", action="store_true")
     p.add_argument("--tp", type=int, default=1,
                    help="tensor-parallel devices: shard the UNet's attention/FF over a tp mesh for multi-chip latency scaling (parallel/tp.py)")
@@ -115,6 +122,8 @@ def cmd_generate(args):
     unc = tokenizer([args.negative_prompt])
 
     if args.tp > 1:
+        if args.window_seconds is not None:
+            raise SystemExit("--window-seconds is not wired into the --tp path; use one or the other")
         from audioldm_tpu.parallel import make_tp_generate_fn, make_tp_mesh, shard_modules
 
         mesh = make_tp_mesh(args.tp)
@@ -128,7 +137,8 @@ def cmd_generate(args):
         fn = make_generate_fn(
             modules, num_inference_steps=args.steps, audio_length_in_s=args.seconds,
             guidance_scale=args.guidance, dtype=jnp.float32 if args.fp32 else jnp.bfloat16,
-            scheduler=args.scheduler,
+            scheduler=args.scheduler, window_seconds=args.window_seconds,
+            window_overlap=args.window_overlap,
         )
         # AOT-compile the two stage programs in parallel threads: overlaps
         # the remote compiles, ~-20% one-shot CLI latency on TPU (PERF.md)

@@ -138,6 +138,16 @@ def latent_shape(modules: AudioLDMModules, batch: int, audio_length_in_s: float)
     return (batch, n_frames // factor, voc.model_in_dim // factor, modules.vae_cfg.latent_channels)
 
 
+def window_starts(total: int, window: int, stride: int) -> tuple[int, ...]:
+    """Static window start offsets covering ``[0, total)``: a stride-grid
+    plus a final flush-right window so the tail is always covered."""
+    if window >= total:
+        return (0,)
+    starts = list(range(0, total - window, stride))
+    starts.append(total - window)
+    return tuple(dict.fromkeys(starts))
+
+
 def denoise(
     modules: AudioLDMModules,
     latents: jnp.ndarray,
@@ -151,6 +161,8 @@ def denoise(
     eta: float = 0.0,
     rng: Optional[jax.Array] = None,
     scheduler: str = "ddim",
+    window_frames: Optional[int] = None,
+    window_stride: Optional[int] = None,
 ) -> jnp.ndarray:
     """CFG-batched denoise loop as one ``lax.scan``.
 
@@ -159,7 +171,19 @@ def denoise(
     ~20-25 steps) or "lcm" (consistency sampling for an LCM-distilled
     adapter, 1-8 steps, NO CFG — guidance is baked in at distillation time,
     so each step is ONE UNet eval at batch B instead of two at 2B;
-    ``train/distill.py``)."""
+    ``train/distill.py``).
+
+    ``window_frames`` (opt-in, long-form clips): MultiDiffusion-style
+    windowed denoising — each step predicts eps on overlapping fixed-size
+    windows of the latent TIME axis (all windows stacked into one batched
+    UNet call) and averages the predictions in the overlaps, then the
+    scheduler steps the FULL latent. The level-0 attention is N^2 in latent
+    frames, so full-length 30 s+ clips pay quadratically while windows stay
+    at the 4096-token flash sweet spot; beyond ~30 s this is the difference
+    between quadratic and linear cost. Sampling semantics deviate from the
+    reference (windows can't hear each other beyond overlaps) — off by
+    default; with ``window_frames >= T`` it is exactly the standard path.
+    ``window_stride`` defaults to ``window_frames // 2`` (50% overlap)."""
     schedule = make_schedule(modules.ddim_cfg)
     if scheduler == "lcm":
         from audioldm_tpu.models.lcm import lcm_inference_timesteps
@@ -201,6 +225,47 @@ def denoise(
             eps_u, eps_c = eps[:b], eps[b:]
             eps = eps_u + guidance_scale * (eps_c - eps_u)
         return eps
+
+    if window_frames is not None and window_frames < latents.shape[1]:
+        T = latents.shape[1]
+        W = int(window_frames)
+        S = int(window_stride) if window_stride is not None else max(1, W // 2)
+        starts = window_starts(T, W, S)
+        K = len(starts)
+        if lora is not None and any(x.ndim == 3 for x in jax.tree.leaves(lora)):
+            raise ValueError(
+                "windowed denoise does not support per-request batched "
+                "adapters (their leading dim is the unwindowed batch); "
+                "merge the adapter or serve uniform batches"
+            )
+        counts = np.zeros((T,), np.float32)
+        for s in starts:
+            counts[s : s + W] += 1.0
+        inv = jnp.asarray((1.0 / counts)[None, :, None, None])
+
+        def predict_eps(lat, t):  # noqa: F811 — MultiDiffusion override
+            # all K windows ride ONE batched UNet call (uncond halves first,
+            # mirroring the CFG layout of the standard path)
+            wins = jnp.concatenate([lat[:, s : s + W] for s in starts], axis=0)
+            model_in = jnp.concatenate([wins, wins], axis=0) if do_cfg else wins
+            if do_cfg:
+                emb_w = jnp.concatenate(
+                    [jnp.tile(uncond_embeds, (K, 1)), jnp.tile(cond_embeds, (K, 1))], axis=0
+                )
+            else:
+                emb_w = jnp.tile(embeds, (K, 1))
+            t_b = jnp.broadcast_to(t, (model_in.shape[0],))
+            eps = apply_unet(
+                modules.unet, modules.unet_cfg, model_in.astype(dtype), t_b,
+                class_labels=emb_w.astype(dtype), lora=lora, lora_scale=lora_scale,
+            ).astype(jnp.float32)
+            if do_cfg:
+                eps_u, eps_c = eps[: K * b], eps[K * b :]
+                eps = eps_u + guidance_scale * (eps_c - eps_u)
+            full = jnp.zeros(lat.shape, jnp.float32)
+            for i, s in enumerate(starts):
+                full = full.at[:, s : s + W].add(eps[i * b : (i + 1) * b])
+            return full * inv
 
     if scheduler == "lcm":
         from audioldm_tpu.models.lcm import consistency_output
@@ -273,6 +338,8 @@ def generate_mel(
     num_waveforms_per_prompt: int = 1,
     eta: float = 0.0,
     scheduler: str = "ddim",
+    window_seconds: Optional[float] = None,
+    window_overlap: float = 0.5,
 ) -> jnp.ndarray:
     """Text -> mel: encode -> CFG denoise scan -> VAE decode. The vocoder
     stage lives in :func:`generate`; splitting here lets callers compile
@@ -293,10 +360,18 @@ def generate_mel(
     shape = latent_shape(modules, b, audio_length_in_s)
     latents = jax.random.normal(noise_rng, shape, jnp.float32)
 
+    window_frames = window_stride = None
+    if window_seconds is not None:
+        voc = modules.vocoder_cfg
+        hop = int(np.prod(voc.upsample_rates))
+        factor = 2 ** (len(modules.vae_cfg.block_out_channels) - 1)
+        window_frames = max(1, int(round(window_seconds * voc.sampling_rate / hop / factor)))
+        window_stride = max(1, int(round(window_frames * (1.0 - window_overlap))))
+
     latents = denoise(
         modules, latents, cond, uncond, num_inference_steps, guidance_scale,
         lora=lora, lora_scale=lora_scale, dtype=dtype, eta=eta, rng=rng,
-        scheduler=scheduler,
+        scheduler=scheduler, window_frames=window_frames, window_stride=window_stride,
     )
 
     return vae_lib.decode(modules.vae, modules.vae_cfg, (latents / modules.vae_cfg.scaling_factor).astype(dtype))
@@ -331,13 +406,16 @@ def generate(
     num_waveforms_per_prompt: int = 1,
     eta: float = 0.0,
     scheduler: str = "ddim",
+    window_seconds: Optional[float] = None,
+    window_overlap: float = 0.5,
 ) -> jnp.ndarray:
     """Full text->audio path. Returns waveform ``[B*num_waveforms, samples]``
     float32.
 
     Defaults mirror the reference workloads: 50 DDIM steps / 10 s
     (generate_audio.py:49-50), lib-default guidance 2.5, 1 waveform/prompt
-    (SURVEY.md §2b).
+    (SURVEY.md §2b). ``window_seconds`` enables MultiDiffusion windowed
+    denoising for long-form clips (see :func:`denoise`).
     """
     voc = modules.vocoder_cfg
     original_samples = int(audio_length_in_s * voc.sampling_rate)
@@ -346,7 +424,8 @@ def generate(
         num_inference_steps, audio_length_in_s, guidance_scale,
         lora=lora, lora_scale=lora_scale, dtype=dtype,
         num_waveforms_per_prompt=num_waveforms_per_prompt, eta=eta,
-        scheduler=scheduler,
+        scheduler=scheduler, window_seconds=window_seconds,
+        window_overlap=window_overlap,
     )
     # vocoder stays fp32 regardless of the pipeline dtype: measured no bf16
     # win (layout-bound, see vocode docstring)
@@ -362,6 +441,8 @@ def make_generate_fn(
     with_lora: bool = False,
     scheduler: str = "ddim",
     split_compile: bool = True,
+    window_seconds: Optional[float] = None,
+    window_overlap: float = 0.5,
 ):
     """jit-compiled generation over the module bundle. The bundle is a jit
     ARGUMENT (configs static via the pytree registration), so params travel
@@ -391,6 +472,7 @@ def make_generate_fn(
                 mods, input_ids, attention_mask, uncond_ids, uncond_mask, rng,
                 num_inference_steps, audio_length_in_s, guidance_scale,
                 lora=lora, lora_scale=lora_scale, dtype=dtype, scheduler=scheduler,
+                window_seconds=window_seconds, window_overlap=window_overlap,
             )
 
         def fn(input_ids, attention_mask, uncond_ids, uncond_mask, rng, lora, lora_scale=1.0):
@@ -405,7 +487,8 @@ def make_generate_fn(
         return stage(
             mods, input_ids, attention_mask, uncond_ids, uncond_mask, rng,
             num_inference_steps, audio_length_in_s, guidance_scale, dtype=dtype,
-            scheduler=scheduler,
+            scheduler=scheduler, window_seconds=window_seconds,
+            window_overlap=window_overlap,
         )
 
     # AOT slot filled by fn.precompile(): (arg_avals, compiled_mel, compiled_voc)

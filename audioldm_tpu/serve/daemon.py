@@ -61,6 +61,10 @@ class GenParams:
     # the CFG uncond embedding is one shared row per batch, so requests in a
     # batch must agree on it.
     negative_prompt: Optional[str] = None
+    # MultiDiffusion windowed long-form denoising (compile-key fields;
+    # pipeline/generate.py denoise docstring)
+    window_seconds: Optional[float] = None
+    window_overlap: float = 0.5
 
 
 @dataclass
@@ -226,6 +230,8 @@ class Microbatcher:
                     scheduler=p.scheduler,
                     seed=seed,
                     negative_prompt=p.negative_prompt,
+                    window_seconds=p.window_seconds,
+                    window_overlap=p.window_overlap,
                 )
         except Exception as e:  # noqa: BLE001 — propagate to every waiter
             for r in batch:
@@ -303,12 +309,15 @@ def make_server(
             if "prompt" not in body:
                 return self._json(400, {"error": "missing 'prompt'"})
             neg = body.get("negative_prompt")
+            ws = body.get("window_seconds")
             params = GenParams(
                 num_inference_steps=int(body.get("steps", 50)),
                 audio_length_in_s=float(body.get("seconds", 10.0)),
                 guidance_scale=float(body.get("guidance", 2.5)),
                 scheduler=str(body.get("scheduler", "ddim")),
                 negative_prompt=None if neg is None else str(neg),
+                window_seconds=None if ws is None else float(ws),
+                window_overlap=float(body.get("window_overlap", 0.5)),
             )
             seed = body.get("seed")
             t0 = time.monotonic()

@@ -172,13 +172,15 @@ class ServeEngine:
         return self.bucket_sizes[-1]
 
     # -- compiled entry points ----------------------------------------------
-    def _fn(self, key, steps: int, seconds: float, guidance: float, with_lora: bool, scheduler: str = "ddim"):
+    def _fn(self, key, steps: int, seconds: float, guidance: float, with_lora: bool,
+            scheduler: str = "ddim", window: Optional[tuple[float, float]] = None):
         if key not in self._fns:
             # module bundle is a jit ARGUMENT (params as device buffers, configs
             # static) — the SAME compiled fn serves base weights and any
             # merged-weight bundle from the cache. Each entry compiles only the
             # text+denoise+VAE stage; the vocoder rides the engine-wide
             # ``self._vocode`` program (split-compile, bit-identical output).
+            w_s, w_ov = window if window is not None else (None, 0.5)
             if with_lora:
 
                 def f(mods, ids, mask, u_ids, u_mask, rng, lora):
@@ -186,7 +188,7 @@ class ServeEngine:
                     return generate_mel(
                         mods, ids, mask, u_ids, u_mask, rng, steps, seconds, guidance,
                         lora=lora, lora_scale=self.lora_cfg.scale, dtype=self.dtype,
-                        scheduler=scheduler,
+                        scheduler=scheduler, window_seconds=w_s, window_overlap=w_ov,
                     )
 
             else:
@@ -196,6 +198,7 @@ class ServeEngine:
                     return generate_mel(
                         mods, ids, mask, u_ids, u_mask, rng, steps, seconds, guidance,
                         dtype=self.dtype, scheduler=scheduler,
+                        window_seconds=w_s, window_overlap=w_ov,
                     )
 
             if self.mesh is not None:
@@ -315,6 +318,8 @@ class ServeEngine:
         scheduler: str = "ddim",
         rng_key: Optional[jax.Array] = None,
         negative_prompt: Optional[str] = None,
+        window_seconds: Optional[float] = None,
+        window_overlap: float = 0.5,
     ) -> np.ndarray:
         """Batched generation; ``adapters[i]`` selects the LoRA for prompt i
         (None/"base" = frozen base model, a bank name, or a composed name
@@ -336,6 +341,7 @@ class ServeEngine:
             guidance_scale, scheduler,
             jax.random.PRNGKey(seed) if rng_key is None else rng_key,
             negative_prompt=negative_prompt,
+            window=None if window_seconds is None else (window_seconds, window_overlap),
         )
         return self._assemble(parts, len(prompts))
 
@@ -361,6 +367,7 @@ class ServeEngine:
         scheduler: str,
         rng: jax.Array,
         negative_prompt: Optional[str] = None,
+        window: Optional[tuple[float, float]] = None,
     ) -> list:
         """Dispatch the batch WITHOUT fetching: returns a list of
         (device_array, row_indices) pairs whose union covers the batch.
@@ -404,6 +411,7 @@ class ServeEngine:
                     None if adapters is None else list(adapters[i : i + max_bucket]),
                     num_inference_steps, audio_length_in_s, guidance_scale,
                     scheduler, jax.random.fold_in(rng, i), negative_prompt=neg,
+                    window=window,
                 )
                 parts.extend((arr, [i + r for r in rows]) for arr, rows in sub)
             return parts
@@ -438,6 +446,7 @@ class ServeEngine:
                     [prompts[i] for i in rows], [name] * len(rows),
                     num_inference_steps, audio_length_in_s, guidance_scale,
                     scheduler, jax.random.fold_in(rng, g), negative_prompt=neg,
+                    window=window,
                 )
                 parts.extend((arr, [rows[r] for r in sub_rows]) for arr, sub_rows in sub)
             return parts
@@ -460,9 +469,9 @@ class ServeEngine:
             # base traffic AND uniform-adapter traffic share ONE compiled fn:
             # the merged bundle is just a different pytree argument
             mods = self.merged_modules(names[0]) if uniform else self.modules
-            fn = self._fn(("plain", bucket, num_inference_steps, audio_length_in_s, guidance_scale, scheduler),
+            fn = self._fn(("plain", bucket, num_inference_steps, audio_length_in_s, guidance_scale, scheduler, window),
                           num_inference_steps, audio_length_in_s, guidance_scale, with_lora=False,
-                          scheduler=scheduler)
+                          scheduler=scheduler, window=window)
             return [(fn(mods, ids, mask, u_ids, u_mask, rng), rows)]
 
         # rank-r gathered path (mixed batch under a dp mesh)
@@ -487,9 +496,9 @@ class ServeEngine:
             )
         else:
             lora = self.bank.gather(idx, cfg_batch=2 if do_cfg else 1)
-        fn = self._fn(("lora", bucket, num_inference_steps, audio_length_in_s, guidance_scale, scheduler),
+        fn = self._fn(("lora", bucket, num_inference_steps, audio_length_in_s, guidance_scale, scheduler, window),
                       num_inference_steps, audio_length_in_s, guidance_scale, with_lora=True,
-                      scheduler=scheduler)
+                      scheduler=scheduler, window=window)
         return [(fn(self.modules, ids, mask, u_ids, u_mask, rng, lora), rows)]
 
     def submit(self, prompt: str, adapter: Optional[str] = None) -> int:

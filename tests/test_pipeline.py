@@ -219,3 +219,90 @@ def test_precompile_aot_matches_jit_path(modules):
     wav2 = np.asarray(f_aot(ids2, mask2, u2, um2, jax.random.PRNGKey(3)))
     ref2 = np.asarray(f_lazy(ids2, mask2, u2, um2, jax.random.PRNGKey(3)))
     np.testing.assert_array_equal(wav2, ref2)
+
+
+def test_window_starts():
+    from audioldm_tpu.pipeline.generate import window_starts
+
+    assert window_starts(10, 4, 3) == (0, 3, 6)
+    assert window_starts(8, 4, 4) == (0, 4)
+    assert window_starts(4, 8, 4) == (0,)
+    assert window_starts(9, 4, 4) == (0, 4, 5)
+    # full coverage, windows in-bounds
+    for total, w, s in ((10, 4, 3), (9, 4, 4), (17, 5, 3)):
+        starts = window_starts(total, w, s)
+        covered = set()
+        for st in starts:
+            assert 0 <= st <= total - w
+            covered.update(range(st, st + w))
+        assert covered == set(range(total))
+
+
+def test_windowed_denoise_no_overlap_equals_independent(modules):
+    """MultiDiffusion windows that exactly tile the time axis with no
+    overlap evolve independently under elementwise schedulers: windowed
+    denoise must equal the concat of per-window standard denoises — this
+    pins the window stacking order, the CFG embed tiling, and the
+    scatter-average in one equality."""
+    b, T, W = 1, 8, 4
+    shape = latent_shape(modules, b, 8 * 2 * 4 / 16000)  # T latent frames
+    assert shape[1] == T
+    lat = jax.random.normal(jax.random.PRNGKey(1), shape, jnp.float32)
+    cond = jax.random.normal(jax.random.PRNGKey(2), (b, 8), jnp.float32)
+    unc = jax.random.normal(jax.random.PRNGKey(3), (b, 8), jnp.float32)
+
+    out_w = _denoise(modules, lat, cond, unc, 3, 2.0, window_frames=W, window_stride=W)
+    left = _denoise(modules, lat[:, :W], cond, unc, 3, 2.0)
+    right = _denoise(modules, lat[:, W:], cond, unc, 3, 2.0)
+    np.testing.assert_allclose(
+        np.asarray(out_w), np.asarray(jnp.concatenate([left, right], axis=1)), atol=1e-5
+    )
+    # overlapping windows actually mix: stride < W changes the result
+    out_o = _denoise(modules, lat, cond, unc, 3, 2.0, window_frames=W, window_stride=2)
+    assert np.max(np.abs(np.asarray(out_o) - np.asarray(out_w))) > 1e-6
+
+
+def test_windowed_covering_window_is_standard_path(modules):
+    """window_frames >= T takes the exact standard path (bit-equal)."""
+    b = 1
+    shape = latent_shape(modules, b, 8 * 2 * 4 / 16000)
+    lat = jax.random.normal(jax.random.PRNGKey(4), shape, jnp.float32)
+    cond = jax.random.normal(jax.random.PRNGKey(5), (b, 8), jnp.float32)
+    unc = jax.random.normal(jax.random.PRNGKey(6), (b, 8), jnp.float32)
+    a = _denoise(modules, lat, cond, unc, 2, 2.0)
+    w = _denoise(modules, lat, cond, unc, 2, 2.0, window_frames=64, window_stride=32)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(w))
+
+
+def test_windowed_generate_end_to_end(modules):
+    """window_seconds threads through generate/make_generate_fn: long-form
+    windowed output is finite with the right shape, and a clip-covering
+    window reproduces the standard output exactly."""
+    ids, mask, u_ids, u_mask = _prompts()
+    rng = jax.random.PRNGKey(0)
+    seconds = 8 * 2 * 4 / 16000  # T=8 latent frames
+    base = _generate(modules, ids, mask, u_ids, u_mask, rng, 2, seconds, 2.0)
+    win = _generate(modules, ids, mask, u_ids, u_mask, rng, 2, seconds, 2.0,
+                    window_seconds=seconds / 2, window_overlap=0.5)
+    assert win.shape == base.shape and np.all(np.isfinite(np.asarray(win)))
+    assert np.max(np.abs(np.asarray(win) - np.asarray(base))) > 1e-7
+    cover = _generate(modules, ids, mask, u_ids, u_mask, rng, 2, seconds, 2.0,
+                      window_seconds=seconds * 2)
+    np.testing.assert_array_equal(np.asarray(cover), np.asarray(base))
+
+    fn = make_generate_fn(modules, num_inference_steps=2, audio_length_in_s=seconds,
+                          guidance_scale=2.0, dtype=jnp.float32,
+                          window_seconds=seconds / 2)
+    out = np.asarray(fn(ids, mask, u_ids, u_mask, rng))
+    np.testing.assert_allclose(out, np.asarray(win), atol=1e-6)
+
+
+def test_windowed_denoise_rejects_batched_adapters(modules):
+    b = 1
+    shape = latent_shape(modules, b, 8 * 2 * 4 / 16000)
+    lat = jnp.zeros(shape, jnp.float32)
+    cond = jnp.zeros((b, 8), jnp.float32)
+    fake_lora = {"to_q": {"a": jnp.zeros((2, 8, 2)), "b": jnp.zeros((2, 2, 8))}}
+    with pytest.raises(ValueError, match="batched"):
+        _denoise(modules, lat, cond, cond, 2, 2.0, lora=fake_lora,
+                 window_frames=4, window_stride=4)

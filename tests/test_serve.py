@@ -540,3 +540,14 @@ def test_per_request_negative_prompt(engine):
     np.testing.assert_allclose(out_over, ref, atol=1e-6)
     out_default = engine.generate(["hip hop beat"], **GEN)
     assert np.max(np.abs(out_over - out_default)) > 1e-7
+
+
+def test_engine_windowed_generation(engine):
+    """window_seconds threads through the serving engine: a clip-covering
+    window reproduces the standard output; a real window changes it."""
+    std = engine.generate(["hip hop beat"], **GEN)
+    cov = engine.generate(["hip hop beat"], window_seconds=1.0, **GEN)
+    np.testing.assert_array_equal(cov, std)
+    win = engine.generate(["hip hop beat"], window_seconds=0.002, **GEN)
+    assert win.shape == std.shape
+    assert np.max(np.abs(win - std)) > 1e-7
