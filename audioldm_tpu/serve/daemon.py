@@ -96,6 +96,7 @@ class Microbatcher:
         self.max_delay_ms = max_delay_ms
         self.base_seed = base_seed
         self.batch_sizes: list[int] = []  # observability (tested)
+        self.latencies_ms: deque[float] = deque(maxlen=1024)  # submit->result wall
         self.served = 0
         self._pending: deque[_Pending] = deque()
         self._cv = threading.Condition()
@@ -169,6 +170,7 @@ class Microbatcher:
         self._thread.join(timeout)
 
     def stats(self) -> dict:
+        lat = np.asarray(self.latencies_ms, np.float64)
         return {
             "served": self.served,
             "batches": len(self.batch_sizes),
@@ -176,6 +178,12 @@ class Microbatcher:
             "pending": len(self._pending),
             "adapters": sorted(self.engine.bank.names) if self.engine.bank else ["base"],
             "composed": sorted(self.engine.composed),
+            # submit->result wall latency over the last <=1024 requests
+            "latency_ms": {
+                "p50": round(float(np.percentile(lat, 50)), 1),
+                "p95": round(float(np.percentile(lat, 95)), 1),
+                "p99": round(float(np.percentile(lat, 99)), 1),
+            } if lat.size else None,
         }
 
     # -- scheduler ------------------------------------------------------------
@@ -239,7 +247,9 @@ class Microbatcher:
             return
         self.batch_sizes.append(len(batch))
         self.served += len(batch)
+        now = time.monotonic()
         for i, r in enumerate(batch):
+            self.latencies_ms.append((now - r.t_submit) * 1e3)
             r.future.set_result(wavs[i])
 
 

@@ -316,3 +316,15 @@ def test_http_negative_prompt_isolation(server):
     for f in futs:
         f.result(timeout=120)
     assert len(mb.batch_sizes) == n0 + 2
+
+
+def test_stats_latency_percentiles(engine):
+    mb = Microbatcher(engine, max_batch=2, max_delay_ms=10.0)
+    try:
+        assert mb.stats()["latency_ms"] is None
+        mb.submit("beat", params=PARAMS).result(timeout=120)
+        s = mb.stats()
+        assert s["latency_ms"]["p50"] > 0
+        assert s["latency_ms"]["p99"] >= s["latency_ms"]["p50"]
+    finally:
+        mb.close()
