@@ -306,3 +306,21 @@ def test_windowed_denoise_rejects_batched_adapters(modules):
     with pytest.raises(ValueError, match="batched"):
         _denoise(modules, lat, cond, cond, 2, 2.0, lora=fake_lora,
                  window_frames=4, window_stride=4)
+
+
+def test_windowed_lcm_sampling(modules):
+    """Windowed denoising composes with the LCM consistency sampler (the
+    few-step long-form path): covering window == standard bit-equal, real
+    windows run and differ."""
+    ids, mask, u_ids, u_mask = _prompts()
+    rng = jax.random.PRNGKey(0)
+    seconds = 8 * 2 * 4 / 16000
+    base = _generate(modules, ids, mask, u_ids, u_mask, rng, 2, seconds, 1.0,
+                     scheduler="lcm")
+    cover = _generate(modules, ids, mask, u_ids, u_mask, rng, 2, seconds, 1.0,
+                      scheduler="lcm", window_seconds=seconds * 2)
+    np.testing.assert_array_equal(np.asarray(cover), np.asarray(base))
+    win = _generate(modules, ids, mask, u_ids, u_mask, rng, 2, seconds, 1.0,
+                    scheduler="lcm", window_seconds=seconds / 2)
+    assert win.shape == base.shape and np.all(np.isfinite(np.asarray(win)))
+    assert np.max(np.abs(np.asarray(win) - np.asarray(base))) > 1e-7

@@ -32,6 +32,7 @@ def main():
     ap.add_argument("--overlap", type=float, default=0.5)
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--modes", default="full,windowed")
+    ap.add_argument("--scheduler", default="ddim", choices=["ddim", "dpm++", "lcm"])
     args = ap.parse_args()
 
     from audioldm_tpu.config import (
@@ -78,7 +79,7 @@ def main():
         fn = make_generate_fn(
             modules, num_inference_steps=args.steps, audio_length_in_s=args.seconds,
             guidance_scale=2.5, dtype=jnp.bfloat16, window_seconds=ws,
-            window_overlap=args.overlap,
+            window_overlap=args.overlap, scheduler=args.scheduler,
         )
 
         def run(seed):
@@ -94,7 +95,7 @@ def main():
             run(2 + i)
         dt = (time.perf_counter() - t0) / args.iters
         print(
-            f"{mode:9s} seconds={args.seconds} steps={args.steps} "
+            f"{mode:9s} {args.scheduler} seconds={args.seconds} steps={args.steps} "
             f"window={ws} overlap={args.overlap if ws else '-'}: "
             f"{dt:.3f} s/clip ({dt / args.seconds:.4f} s per audio-second)"
         )
