@@ -230,6 +230,10 @@ def denoise(
         T = latents.shape[1]
         W = int(window_frames)
         S = int(window_stride) if window_stride is not None else max(1, W // 2)
+        if S > W:
+            # gaps between windows would never be denoised (and their
+            # overlap-average divides by zero)
+            raise ValueError(f"window_stride {S} > window_frames {W} leaves uncovered frames")
         starts = window_starts(T, W, S)
         K = len(starts)
         if lora is not None and any(x.ndim == 3 for x in jax.tree.leaves(lora)):
@@ -362,6 +366,12 @@ def generate_mel(
 
     window_frames = window_stride = None
     if window_seconds is not None:
+        if window_seconds <= 0:
+            raise ValueError(f"window_seconds must be > 0, got {window_seconds}")
+        if not 0.0 <= window_overlap <= 0.9:
+            # <0 would leave stride > window (uncovered frames -> 1/0 -> NaN
+            # audio); ~1.0 degenerates to stride 1 (a ~T-window UNet batch)
+            raise ValueError(f"window_overlap must be in [0, 0.9], got {window_overlap}")
         voc = modules.vocoder_cfg
         hop = int(np.prod(voc.upsample_rates))
         factor = 2 ** (len(modules.vae_cfg.block_out_channels) - 1)

@@ -139,6 +139,12 @@ class Microbatcher:
 
         with self._engine_lock:
             eng = self.engine
+            if name in eng.composed:
+                raise ValueError(
+                    f"adapter name {name!r} is taken by a composed adapter; "
+                    "pick another name (compositions are recomputed, not replaced, "
+                    "by component loads)"
+                )
             if eng.bank is None:
                 eng.lora_cfg = LoRAConfig(r=rank, lora_alpha=float(alpha if alpha is not None else rank))
                 eng.bank = AdapterBank.from_adapters({name: adapter_tree}, eng.lora_cfg)
@@ -155,6 +161,9 @@ class Microbatcher:
             else:
                 eng.bank.add(name, adapter_tree)
             eng._merged_cache.pop(name, None)
+            # compositions built from this component would otherwise keep
+            # serving the OLD merged weights (code-review finding)
+            eng.refresh_composed(name)
 
     def compose_adapter(self, name: str, weights: dict) -> None:
         """Register a weighted multi-LoRA composition in the running engine
@@ -241,9 +250,16 @@ class Microbatcher:
                     window_seconds=p.window_seconds,
                     window_overlap=p.window_overlap,
                 )
-        except Exception as e:  # noqa: BLE001 — propagate to every waiter
-            for r in batch:
-                r.future.set_exception(e)
+        except Exception as e:  # noqa: BLE001
+            if len(batch) > 1:
+                # an unservable COMBINATION (e.g. a composed adapter forced
+                # onto the rank-r path under a dp mesh) raises for the whole
+                # batch; retry solo so only the offending request fails
+                # instead of poisoning innocent co-batched peers
+                for r in batch:
+                    self._serve([r])
+                return
+            batch[0].future.set_exception(e)
             return
         self.batch_sizes.append(len(batch))
         self.served += len(batch)

@@ -281,6 +281,12 @@ class ServeEngine:
 
         if self.bank is None:
             raise ValueError("add_composed needs an AdapterBank with the component adapters")
+        if name in self.bank.names:
+            raise ValueError(
+                f"composed name {name!r} collides with a bank adapter — it "
+                "would hijack that adapter's merged-cache route while rank-r "
+                "batches still gather the bank weights"
+            )
         unknown = sorted((set(weights) - set(self.bank.names)) | ({"base"} & set(weights)))
         if unknown:
             raise KeyError(f"cannot compose from {unknown}; bank has "
@@ -295,6 +301,18 @@ class ServeEngine:
             unet=merge_lora(self.modules.unet, composed, ccfg)
         )
         self.composed[name] = dict(weights)
+
+    def refresh_composed(self, component: str) -> list[str]:
+        """Recompute every composed adapter that references ``component``
+        (call after hot-replacing that component in the bank — the merged
+        composition would otherwise keep serving the OLD weights). Returns
+        the refreshed names."""
+        stale = [n for n, w in self.composed.items() if component in w]
+        for n in stale:
+            weights = self.composed.pop(n)
+            self._merged_cache.pop(n, None)
+            self.add_composed(n, weights)
+        return stale
 
     def _tokenize(self, prompts: Sequence[str], negative_prompt: str):
         tok = self.tokenizer(list(prompts))
@@ -388,17 +406,16 @@ class ServeEngine:
         neg = self.negative_prompt if negative_prompt is None else negative_prompt
         if adapters is not None:
             missing = sorted({str(a) for a in adapters if not self.has_adapter(a)})
-            if missing and self.bank is None and not self.composed:
-                raise ValueError(
-                    f"adapters {missing} requested but no AdapterBank is "
-                    "configured — serving would silently fall back to base weights"
-                )
             if missing:
+                have = (
+                    "no AdapterBank is configured"
+                    if self.bank is None and not self.composed
+                    else f"loaded: bank={sorted(self.bank.names) if self.bank else []} "
+                         f"composed={sorted(self.composed)}"
+                )
                 raise ValueError(
-                    f"unknown adapter(s) {missing}; serving would silently "
-                    f"fall back to base weights. Loaded: bank="
-                    f"{sorted(self.bank.names) if self.bank else []} "
-                    f"composed={sorted(self.composed)}"
+                    f"unknown adapter(s) {missing} — serving would silently "
+                    f"fall back to base weights ({have})"
                 )
         max_bucket = self.bucket_sizes[-1]
         if b > max_bucket:

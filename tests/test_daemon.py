@@ -328,3 +328,47 @@ def test_stats_latency_percentiles(engine):
         assert s["latency_ms"]["p99"] >= s["latency_ms"]["p50"]
     finally:
         mb.close()
+
+
+def test_component_reload_refreshes_compositions():
+    """Hot-loading a component adapter recomputes compositions built from it
+    (they would otherwise serve stale merged weights) and composed names are
+    protected from being overwritten by loads."""
+    eng = _make_engine()
+    mb = Microbatcher(eng, max_batch=2, max_delay_ms=20.0)
+    try:
+        eng.add_composed("blend", {"hiphop": 1.0})
+        out1 = mb.submit("beat", adapter="blend", params=PARAMS, seed=9).result(timeout=180)
+        new_tree = jax.tree.map(
+            lambda x: x - 0.03,
+            init_lora(jax.random.PRNGKey(7), eng.modules.unet, eng.lora_cfg),
+        )
+        mb.load_adapter("hiphop", new_tree, rank=2, alpha=4)
+        out2 = mb.submit("beat", adapter="blend", params=PARAMS, seed=9).result(timeout=180)
+        assert np.max(np.abs(out1 - out2)) > 1e-7
+        # blend = 1.0 * hiphop, so post-refresh it equals the NEW component
+        direct = eng.generate(["beat"], adapters=["hiphop"], num_inference_steps=2,
+                              audio_length_in_s=0.01, guidance_scale=2.0, seed=9)
+        np.testing.assert_allclose(out2, direct[0], atol=1e-6)
+        with pytest.raises(ValueError, match="taken by a composed"):
+            mb.load_adapter("blend", new_tree, rank=2, alpha=4)
+    finally:
+        mb.close()
+
+
+def test_unservable_combination_fails_solo_not_batch():
+    """An unservable adapter COMBINATION (composed name forced onto the
+    rank-r path) must not poison co-batched requests: the batch retries
+    solo, where both requests are uniform and succeed."""
+    eng = _make_engine()
+    eng.split_mixed_adapters = False  # forces mixed batches onto rank-r
+    eng.add_composed("blend", {"hiphop": 1.0})
+    mb = Microbatcher(eng, max_batch=2, max_delay_ms=10_000.0)
+    try:
+        f1 = mb.submit("a", adapter="blend", params=PARAMS)
+        f2 = mb.submit("b", adapter="base", params=PARAMS)
+        assert f1.result(timeout=180).shape == (160,)
+        assert f2.result(timeout=180).shape == (160,)
+        assert 2 in mb.batch_sizes or mb.batch_sizes.count(1) >= 2
+    finally:
+        mb.close()

@@ -324,3 +324,24 @@ def test_windowed_lcm_sampling(modules):
                     scheduler="lcm", window_seconds=seconds / 2)
     assert win.shape == base.shape and np.all(np.isfinite(np.asarray(win)))
     assert np.max(np.abs(np.asarray(win) - np.asarray(base))) > 1e-7
+
+
+def test_window_parameter_validation(modules):
+    """Bad window params fail loudly instead of producing NaN audio
+    (negative overlap -> stride > window -> uncovered frames -> 1/0)."""
+    ids, mask, u_ids, u_mask = _prompts()
+    rng = jax.random.PRNGKey(0)
+    seconds = 8 * 2 * 4 / 16000
+    with pytest.raises(ValueError, match="window_overlap"):
+        _generate(modules, ids, mask, u_ids, u_mask, rng, 2, seconds, 2.0,
+                  window_seconds=seconds / 4, window_overlap=-0.5)
+    with pytest.raises(ValueError, match="window_overlap"):
+        _generate(modules, ids, mask, u_ids, u_mask, rng, 2, seconds, 2.0,
+                  window_seconds=seconds / 4, window_overlap=0.99)
+    with pytest.raises(ValueError, match="window_seconds"):
+        _generate(modules, ids, mask, u_ids, u_mask, rng, 2, seconds, 2.0,
+                  window_seconds=0.0)
+    lat = jnp.zeros(latent_shape(modules, 1, seconds), jnp.float32)
+    cond = jnp.zeros((1, 8), jnp.float32)
+    with pytest.raises(ValueError, match="uncovered"):
+        _denoise(modules, lat, cond, cond, 2, 2.0, window_frames=2, window_stride=4)

@@ -551,3 +551,35 @@ def test_engine_windowed_generation(engine):
     win = engine.generate(["hip hop beat"], window_seconds=0.002, **GEN)
     assert win.shape == std.shape
     assert np.max(np.abs(win - std)) > 1e-7
+
+
+def test_composed_name_collision_rejected(engine):
+    """A composed name may not shadow a bank adapter (it would hijack the
+    merged-cache route while rank-r batches still gather bank weights)."""
+    with pytest.raises(ValueError, match="collides"):
+        engine.add_composed("hiphop", {"jazz": 1.0})
+
+
+def test_refresh_composed_recomputes_from_new_component(engine):
+    """refresh_composed('x') rebuilds every composition referencing x from
+    the CURRENT bank weights (hot-reload staleness, code-review finding)."""
+    eng = ServeEngine(
+        engine.modules, DummyTokenizer(), engine.lora_cfg,
+        bank=AdapterBank.from_adapters(
+            {"x": jax.tree.map(lambda b: b[engine.bank.names["hiphop"]], engine.bank.stacked)},
+            engine.lora_cfg),
+        dtype=jnp.float32,
+    )
+    eng.add_composed("blend", {"x": 1.0})
+    out1 = eng.generate(["beat"], adapters=["blend"], **GEN)
+    # hot-replace component x in the bank, then refresh
+    idx = eng.bank.names["x"]
+    jazz = jax.tree.map(lambda b: b[engine.bank.names["jazz"]], engine.bank.stacked)
+    eng.bank.stacked = jax.tree.map(lambda bank, leaf: bank.at[idx].set(leaf), eng.bank.stacked, jazz)
+    eng._merged_cache.pop("x", None)
+    assert eng.refresh_composed("x") == ["blend"]
+    out2 = eng.generate(["beat"], adapters=["blend"], **GEN)
+    assert np.max(np.abs(out1 - out2)) > 1e-7
+    # blend == 1.0*x, so the refreshed composition equals the new component merged
+    direct = eng.generate(["beat"], adapters=["x"], **GEN)
+    np.testing.assert_allclose(out2, direct, atol=1e-6)
