@@ -62,6 +62,20 @@ def _add_generate(sub):
     p.add_argument("--clap", default=None,
                    help="CLAP model dir (or a checkpoint dir holding clap/) for --best-of")
     p.add_argument("--output", default="output.wav")
+    p.add_argument("--init-audio", default=None, metavar="WAV",
+                   help="audio-to-audio: SDEdit style transfer from this clip "
+                        "(VAE-encode, noise to --strength's timestep, denoise the rest)")
+    p.add_argument("--strength", type=float, default=0.75,
+                   help="(0,1] fraction of the schedule to re-run for --init-audio "
+                        "(diffusers img2img convention; 1.0 = full redraw from the noised init)")
+    p.add_argument("--inpaint", default=None, metavar="T0-T1[,T0-T1...]",
+                   help="second-ranges of --init-audio to REGENERATE; the rest is held "
+                        "to the source every DDIM step (latent inpainting)")
+    p.add_argument("--inpaint-freq", default=None, metavar="LO-HI[,LO-HI...]",
+                   help="mel-bin ranges (of 64) to regenerate across the whole clip — "
+                        "e.g. 32-64 redraws the top octave (super-resolution)")
+    p.add_argument("--sample-posterior", action="store_true",
+                   help="sample the VAE posterior for --init-audio instead of its mode")
     p.add_argument("--window-seconds", type=float, default=None,
                    help="long-form clips: MultiDiffusion windowed denoising — predict eps on "
                         "overlapping windows of this many seconds (one batched UNet call per "
@@ -121,7 +135,51 @@ def cmd_generate(args):
     tok = tokenizer([args.prompt] * args.batch)
     unc = tokenizer([args.negative_prompt])
 
-    if args.tp > 1:
+    if args.init_audio:
+        if args.tp > 1 or args.best_of is not None or args.window_seconds is not None:
+            raise SystemExit("--init-audio is not combinable with --tp/--best-of/--window-seconds")
+        if args.scheduler == "lcm":
+            raise SystemExit("--init-audio supports ddim/dpm++ (lcm uses its own distilled grid)")
+        if (args.inpaint or args.inpaint_freq) and args.scheduler != "ddim":
+            raise SystemExit("--inpaint/--inpaint-freq require --scheduler ddim")
+        from audioldm_tpu.data.wavio import read_wav
+        from audioldm_tpu.ops.resample import resample_np
+        from audioldm_tpu.pipeline import latent_mask, make_a2a_fn, prepare_init_mel
+
+        wav_in, sr_in = read_wav(args.init_audio)
+        wav_in = np.asarray(wav_in, np.float32)
+        if wav_in.ndim == 2:
+            wav_in = wav_in.mean(axis=-1)
+        sr_model = modules.vocoder_cfg.sampling_rate
+        if sr_in != sr_model:
+            wav_in = resample_np(wav_in, sr_in, sr_model)
+        mel_init = prepare_init_mel(wav_in, modules, args.seconds)
+
+        inp_mask = None
+        if args.inpaint or args.inpaint_freq:
+            try:
+                times = ([tuple(float(x) for x in r.split("-")) for r in args.inpaint.split(",")]
+                         if args.inpaint else None)
+                freqs = ([tuple(int(x) for x in r.split("-")) for r in args.inpaint_freq.split(",")]
+                         if args.inpaint_freq else None)
+            except ValueError:
+                raise SystemExit("--inpaint/--inpaint-freq expect LO-HI[,LO-HI...] ranges")
+            inp_mask = latent_mask(modules, args.seconds, regenerate_times=times,
+                                   regenerate_mel_bins=freqs)
+
+        _a2a = make_a2a_fn(
+            modules, num_inference_steps=args.steps, audio_length_in_s=args.seconds,
+            strength=args.strength, guidance_scale=args.guidance,
+            dtype=jnp.float32 if args.fp32 else jnp.bfloat16, scheduler=args.scheduler,
+            inpaint_mask=inp_mask, sample_posterior=args.sample_posterior,
+        )
+
+        def fn(ids, am, uids, uam, rng, _a2a=_a2a, _mel=mel_init):
+            return _a2a(_mel, ids, am, uids, uam, rng)
+
+        mode = "inpainting" if inp_mask is not None else f"style transfer (strength {args.strength})"
+        print(f"audio-to-audio from {args.init_audio}: {mode}")
+    elif args.tp > 1:
         if args.window_seconds is not None:
             raise SystemExit("--window-seconds is not wired into the --tp path; use one or the other")
         from audioldm_tpu.parallel import make_tp_generate_fn, make_tp_mesh, shard_modules

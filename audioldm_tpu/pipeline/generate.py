@@ -39,7 +39,7 @@ from audioldm_tpu.config import (
 )
 from audioldm_tpu.models import vae as vae_lib
 from audioldm_tpu.models.clap_text import apply_clap_text, init_clap_text
-from audioldm_tpu.models.scheduler import ddim_step, inference_timesteps, make_schedule
+from audioldm_tpu.models.scheduler import add_noise, ddim_step, inference_timesteps, make_schedule
 from audioldm_tpu.models.unet import apply_unet, init_unet
 from audioldm_tpu.models.vocoder import apply_vocoder, init_vocoder
 
@@ -163,6 +163,9 @@ def denoise(
     scheduler: str = "ddim",
     window_frames: Optional[int] = None,
     window_stride: Optional[int] = None,
+    start_index: int = 0,
+    inpaint_mask: Optional[jnp.ndarray] = None,
+    init_latents: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """CFG-batched denoise loop as one ``lax.scan``.
 
@@ -183,7 +186,21 @@ def denoise(
     between quadratic and linear cost. Sampling semantics deviate from the
     reference (windows can't hear each other beyond overlaps) — off by
     default; with ``window_frames >= T`` it is exactly the standard path.
-    ``window_stride`` defaults to ``window_frames // 2`` (50% overlap)."""
+    ``window_stride`` defaults to ``window_frames // 2`` (50% overlap).
+
+    ``start_index`` (audio-to-audio / SDEdit, ``pipeline/audio2audio.py``):
+    enter the trajectory at ``ts[start_index]`` instead of ``ts[0]`` — the
+    caller supplies ``latents`` already noised to that timestep via
+    ``add_noise``. Supported for "ddim" and "dpm++"; "lcm" uses its own
+    distilled grid (raises).
+
+    ``inpaint_mask`` (1 = regenerate, 0 = keep; broadcastable to
+    ``latents``): after every DDIM update the known region is overwritten
+    with the init latents forward-noised to the step's output timestep
+    (q-sampled x_{t_prev}), the standard latent-inpainting projection
+    (RePaint eq. 8 / diffusers legacy inpaint). Requires ``init_latents``
+    and ``rng``; DDIM only — DPM-Solver++ carries a multistep x0 history
+    that the projection would invalidate."""
     schedule = make_schedule(modules.ddim_cfg)
     if scheduler == "lcm":
         from audioldm_tpu.models.lcm import lcm_inference_timesteps
@@ -201,6 +218,18 @@ def denoise(
         raise ValueError("eta > 0 requires an rng")
     if scheduler not in ("ddim", "dpm++", "lcm"):
         raise ValueError(f"unknown scheduler: {scheduler}")
+    if start_index:
+        if scheduler == "lcm":
+            raise ValueError("start_index (audio-to-audio) is not supported with the lcm scheduler")
+        if not 0 <= start_index < len(ts):
+            raise ValueError(f"start_index {start_index} outside [0, {len(ts)})")
+    if inpaint_mask is not None:
+        if scheduler != "ddim":
+            raise ValueError("inpaint_mask requires scheduler='ddim'")
+        if init_latents is None or rng is None:
+            raise ValueError("inpaint_mask requires init_latents and an rng")
+        inpaint_mask = jnp.asarray(inpaint_mask, jnp.float32)
+        init_f32 = init_latents.astype(jnp.float32)
 
     do_cfg = uncond_embeds is not None and guidance_scale != 1.0 and scheduler != "lcm"
     if do_cfg:
@@ -303,12 +332,12 @@ def denoise(
             t = ts_dev[idx]
             eps = predict_eps(lat, t)
             lat, x0, lam_t = dpm_solver_step(
-                schedule, eps, t, prev_dev[idx], lat, prev_x0, prev_lambda, is_first=idx == 0
+                schedule, eps, t, prev_dev[idx], lat, prev_x0, prev_lambda, is_first=idx == start_index
             )
             return (lat, x0, lam_t), None
 
         init = (latents.astype(jnp.float32), jnp.zeros_like(latents, jnp.float32), jnp.asarray(0.0))
-        (latents, _, _), _ = jax.lax.scan(body, init, jnp.arange(len(ts)))
+        (latents, _, _), _ = jax.lax.scan(body, init, jnp.arange(start_index, len(ts)))
         return latents
 
     def body(carry, idx):
@@ -320,9 +349,21 @@ def denoise(
             lat = ddim_step(schedule, eps, t, prev_dev[idx], lat, eta=eta, noise=noise)
         else:
             lat = ddim_step(schedule, eps, t, prev_dev[idx], lat)
+        if inpaint_mask is not None:
+            # project the known region to the trajectory the forward process
+            # assigns it at the step's OUTPUT timestep t_prev (clean init once
+            # t_prev < 0, i.e. after the final step). Noise key folded twice
+            # so it never collides with the eta>0 variance noise above.
+            t_prev = prev_dev[idx]
+            k_noise = jax.random.normal(
+                jax.random.fold_in(jax.random.fold_in(rng, idx), 1), lat.shape, jnp.float32
+            )
+            known = add_noise(schedule, init_f32, k_noise, jnp.maximum(t_prev, 0))
+            known = jnp.where(t_prev >= 0, known, init_f32)
+            lat = inpaint_mask * lat + (1.0 - inpaint_mask) * known
         return lat, None
 
-    latents, _ = jax.lax.scan(body, latents.astype(jnp.float32), jnp.arange(len(ts)))
+    latents, _ = jax.lax.scan(body, latents.astype(jnp.float32), jnp.arange(start_index, len(ts)))
     return latents
 
 

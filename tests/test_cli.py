@@ -97,6 +97,38 @@ def test_cli_generate_with_lora(tiny_checkpoint, tmp_path):
     np.testing.assert_allclose(c, a, atol=2e-4)
 
 
+def test_cli_generate_audio_to_audio(tiny_checkpoint, tmp_path):
+    src = str(tmp_path / "src.wav")
+    rs = np.random.RandomState(0)
+    write_wav(src, (rs.randn(160) * 0.1).astype(np.float32), 16000)
+
+    out = str(tmp_path / "a2a.wav")
+    cli.main([
+        "generate", "--checkpoint", tiny_checkpoint, "--prompt", "hip hop music",
+        "--init-audio", src, "--strength", "0.5",
+        "--steps", "2", "--seconds", "0.01", "--output", out, "--fp32",
+    ])
+    wav, sr = read_wav(out)
+    assert sr == 16000 and len(wav) == 160 and np.any(wav != 0)
+
+    # inpainting: regenerate the first half + the top mel-bin octave
+    out2 = str(tmp_path / "inpaint.wav")
+    cli.main([
+        "generate", "--checkpoint", tiny_checkpoint, "--prompt", "hip hop music",
+        "--init-audio", src, "--inpaint", "0.0-0.005", "--inpaint-freq", "4-8",
+        "--steps", "2", "--seconds", "0.01", "--output", out2, "--fp32",
+    ])
+    wav2, _ = read_wav(out2)
+    assert len(wav2) == 160 and np.any(wav2 != 0)
+
+    with pytest.raises(SystemExit):
+        cli.main([
+            "generate", "--checkpoint", tiny_checkpoint, "--prompt", "x",
+            "--init-audio", src, "--scheduler", "lcm",
+            "--steps", "2", "--seconds", "0.01", "--output", out, "--fp32",
+        ])
+
+
 def test_cli_slice(tmp_path, rng):
     wav_dir = tmp_path / "wavs"
     wav_dir.mkdir()
