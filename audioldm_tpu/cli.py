@@ -38,6 +38,19 @@ def _is_float(s: str) -> bool:
         return False
 
 
+def _parse_ranges(spec: str, conv):
+    """``LO-HI[,LO-HI...]`` -> list of 2-tuples. Raises ValueError on any
+    piece that is not exactly two ``conv``-parseable values (``0-1-2`` must
+    not silently become a 3-tuple — advisor round-3 finding)."""
+    out = []
+    for r in spec.split(","):
+        parts = r.split("-")
+        if len(parts) != 2:
+            raise ValueError(f"range {r!r} is not LO-HI")
+        out.append((conv(parts[0]), conv(parts[1])))
+    return out
+
+
 def _add_generate(sub):
     p = sub.add_parser("generate", help="text -> audio")
     p.add_argument("--checkpoint", required=True, help="audioldm checkpoint dir (HF layout)")
@@ -65,9 +78,10 @@ def _add_generate(sub):
     p.add_argument("--init-audio", default=None, metavar="WAV",
                    help="audio-to-audio: SDEdit style transfer from this clip "
                         "(VAE-encode, noise to --strength's timestep, denoise the rest)")
-    p.add_argument("--strength", type=float, default=0.75,
+    p.add_argument("--strength", type=float, default=None,
                    help="(0,1] fraction of the schedule to re-run for --init-audio "
-                        "(diffusers img2img convention; 1.0 = full redraw from the noised init)")
+                        "(diffusers img2img convention; 1.0 = full redraw from the "
+                        "noised init; default 0.75)")
     p.add_argument("--inpaint", default=None, metavar="T0-T1[,T0-T1...]",
                    help="second-ranges of --init-audio to REGENERATE; the rest is held "
                         "to the source every DDIM step (latent inpainting)")
@@ -135,11 +149,29 @@ def cmd_generate(args):
     tok = tokenizer([args.prompt] * args.batch)
     unc = tokenizer([args.negative_prompt])
 
+    if not args.init_audio:
+        # audio-to-audio flags are meaningless without an init clip; running
+        # plain text-to-audio instead would silently ignore the user's intent
+        a2a_flags = [f for f, on in (("--strength", args.strength is not None),
+                                     ("--inpaint", args.inpaint is not None),
+                                     ("--inpaint-freq", args.inpaint_freq is not None),
+                                     ("--sample-posterior", args.sample_posterior)) if on]
+        if a2a_flags:
+            verb = "requires" if len(a2a_flags) == 1 else "require"
+            raise SystemExit(f"{'/'.join(a2a_flags)} {verb} --init-audio WAV (audio-to-audio)")
+
     if args.init_audio:
         if args.tp > 1 or args.best_of is not None or args.window_seconds is not None:
             raise SystemExit("--init-audio is not combinable with --tp/--best-of/--window-seconds")
         if args.scheduler == "lcm":
             raise SystemExit("--init-audio supports ddim/dpm++ (lcm uses its own distilled grid)")
+        if args.strength is None:
+            args.strength = 0.75
+        if int(args.steps * args.strength) < 1:
+            raise SystemExit(
+                f"--strength {args.strength} too low for --steps {args.steps}: "
+                "int(steps * strength) must be >= 1 (it is the number of denoise steps run)"
+            )
         if (args.inpaint or args.inpaint_freq) and args.scheduler != "ddim":
             raise SystemExit("--inpaint/--inpaint-freq require --scheduler ddim")
         from audioldm_tpu.data.wavio import read_wav
@@ -158,10 +190,8 @@ def cmd_generate(args):
         inp_mask = None
         if args.inpaint or args.inpaint_freq:
             try:
-                times = ([tuple(float(x) for x in r.split("-")) for r in args.inpaint.split(",")]
-                         if args.inpaint else None)
-                freqs = ([tuple(int(x) for x in r.split("-")) for r in args.inpaint_freq.split(",")]
-                         if args.inpaint_freq else None)
+                times = _parse_ranges(args.inpaint, float) if args.inpaint else None
+                freqs = _parse_ranges(args.inpaint_freq, int) if args.inpaint_freq else None
             except ValueError:
                 raise SystemExit("--inpaint/--inpaint-freq expect LO-HI[,LO-HI...] ranges")
             inp_mask = latent_mask(modules, args.seconds, regenerate_times=times,

@@ -348,9 +348,16 @@ class MelConfig:
     mel_fmin: float = 0.0
     mel_fmax: float = 8000.0
     duration: float = 10.24
+    # exact frame-count override: when set, target_length is this value
+    # instead of being reconstructed from the float duration (whose int()
+    # truncation can land one frame short for non-representable products —
+    # audio2audio.mel_config_for derives geometry from a frame count)
+    target_frames: Optional[int] = None
 
     @property
     def target_length(self) -> int:
+        if self.target_frames is not None:
+            return self.target_frames
         return int(self.duration * self.sampling_rate / self.hop_length)
 
     @property

@@ -55,6 +55,12 @@ def a2a_start_index(num_inference_steps: int, strength: float) -> int:
     if not 0.0 < strength <= 1.0:
         raise ValueError(f"strength must be in (0, 1], got {strength}")
     init_timestep = min(int(num_inference_steps * strength), num_inference_steps)
+    if init_timestep < 1:
+        raise ValueError(
+            f"strength {strength} too low for {num_inference_steps} steps: "
+            f"int(steps * strength) must be >= 1 (it selects how many denoise "
+            f"steps run); raise strength or the step count"
+        )
     return max(num_inference_steps - init_timestep, 0)
 
 
@@ -77,6 +83,9 @@ def mel_config_for(vocoder_cfg: VocoderConfig, n_frames: int) -> MelConfig:
         mel_fmin=0.0,
         mel_fmax=min(8000.0, sr / 2),
         duration=n_frames * hop / sr,
+        # exact: int(duration*sr/hop) can truncate one frame short when
+        # n*hop/sr is not float-representable (advisor round-3 finding)
+        target_frames=n_frames,
     )
 
 

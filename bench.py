@@ -133,8 +133,12 @@ def main():
         with ThreadPoolExecutor(2) as ex:
             f_init = ex.submit(_run_init)
             f_pre = ex.submit(fn.precompile, ids, mask, u_ids, u_mask, jax.random.PRNGKey(0))
-            (modules.unet, modules.vae, modules.text_encoder, modules.vocoder), init_s = f_init.result()
+            params, init_s = f_init.result()
+            # precompile lowers from the AVAL bundle only — wait for it
+            # before mutating the modules fields it may still be flattening
+            # (advisor round-3 finding: unsynchronized cross-thread mutation)
             f_pre.result()
+            modules.unet, modules.vae, modules.text_encoder, modules.vocoder = params
     else:
         (modules.unet, modules.vae, modules.text_encoder, modules.vocoder), init_s = _run_init()
     print(f"# init: {init_s:.1f}s (overlapped with stage compiles)", file=sys.stderr)

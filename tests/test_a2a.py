@@ -46,6 +46,10 @@ def test_start_index_matches_diffusers_convention():
         a2a_start_index(50, 0.0)
     with pytest.raises(ValueError):
         a2a_start_index(50, 1.5)
+    # int(steps*strength) == 0 selects ZERO denoise steps — a descriptive
+    # error here, not an opaque start_index-out-of-range at trace time
+    with pytest.raises(ValueError, match="too low"):
+        a2a_start_index(10, 0.05)
 
 
 def test_mel_config_for_flagship_matches_reference_frontend():
@@ -57,6 +61,17 @@ def test_mel_config_for_flagship_matches_reference_frontend():
         ref.filter_length, ref.hop_length, ref.win_length)
     assert (cfg.n_mel, cfg.mel_fmin, cfg.mel_fmax) == (ref.n_mel, ref.mel_fmin, ref.mel_fmax)
     assert cfg.target_length == 1024
+
+
+def test_mel_config_for_exact_frame_count():
+    # target_length must round-trip EXACTLY for every frame count — the old
+    # int(duration*sr/hop) reconstruction truncated one frame short whenever
+    # n*hop/sr was not float-representable (e.g. 29*160/16000 = 0.29 ->
+    # int(28.999...) == 28), tripping the prepare_init_mel shape guard
+    from audioldm_tpu.config import VocoderConfig
+
+    for n in range(1, 260):
+        assert mel_config_for(VocoderConfig(), n).target_length == n, n
 
 
 def test_prepare_init_mel_geometry(modules, init_mel):  # noqa: F811

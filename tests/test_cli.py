@@ -129,6 +129,30 @@ def test_cli_generate_audio_to_audio(tiny_checkpoint, tmp_path):
         ])
 
 
+def test_cli_a2a_flag_validation(tiny_checkpoint, tmp_path):
+    """Advisor round-3 findings: a2a flags without --init-audio, malformed
+    ranges, and too-low strength all fail fast with a clean message."""
+    src = str(tmp_path / "src.wav")
+    write_wav(src, np.zeros(160, np.float32), 16000)
+    base = ["generate", "--checkpoint", tiny_checkpoint, "--prompt", "x",
+            "--steps", "2", "--seconds", "0.01", "--fp32",
+            "--output", str(tmp_path / "o.wav")]
+
+    # a2a flags are silently-ignored no more: each requires --init-audio
+    for flags in (["--inpaint", "0.0-0.005"], ["--strength", "0.5"],
+                  ["--inpaint-freq", "4-8"], ["--sample-posterior"]):
+        with pytest.raises(SystemExit, match="init-audio"):
+            cli.main(base + flags)
+
+    # malformed range: 0-1-2 must not parse as a 3-tuple
+    with pytest.raises(SystemExit, match="LO-HI"):
+        cli.main(base + ["--init-audio", src, "--inpaint", "0-1-2"])
+
+    # int(steps*strength) == 0 -> descriptive error, not a trace-time crash
+    with pytest.raises(SystemExit, match="too low"):
+        cli.main(base + ["--init-audio", src, "--strength", "0.05"])
+
+
 def test_cli_slice(tmp_path, rng):
     wav_dir = tmp_path / "wavs"
     wav_dir.mkdir()
