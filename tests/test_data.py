@@ -167,6 +167,84 @@ def test_wav_dir_dataset(tmp_path, bpe_files, rng):
     assert sr == 16000 and cap == "caption 1" and len(wav) == 6000
 
 
+def test_wav_dir_dataset_is_lazy(tmp_path, rng, monkeypatch):
+    """Construction must do O(1) decode work — the reference keeps its HF
+    dataset lazy (datasets.py:95-117); an eager copy is O(dataset) RAM."""
+    import audioldm_tpu.data.dataset as ds_mod
+
+    for i in range(4):
+        write_wav(str(tmp_path / f"c{i}.wav"), (rng.standard_normal(3000) * 0.2).astype(np.float32), 16000)
+        (tmp_path / f"c{i}.txt").write_text(f"caption {i}")
+
+    calls = {"n": 0}
+    real = ds_mod.read_wav
+
+    def counting_read(path):
+        calls["n"] += 1
+        return real(path)
+
+    monkeypatch.setattr(ds_mod, "read_wav", counting_read)
+    ds = AudioCaptionDataset(str(tmp_path))
+    assert calls["n"] == 0  # zero decodes at construction
+    assert len(ds) == 4
+    ds.get_raw(2)
+    assert calls["n"] == 1  # one decode per accessed item
+
+
+class _FakeHF:
+    """Map-style HF-dataset stand-in that counts row accesses and refuses
+    full iteration (the old eager __init__ iterated every row)."""
+
+    features = {"audio": None, "caption": None}
+
+    def __init__(self, n, rng):
+        self.rows = [
+            {"audio": {"array": (rng.standard_normal(3000) * 0.3).astype(np.float32),
+                       "sampling_rate": 16000},
+             "caption": f"clip {i}", "metadata": {"k": i}}
+            for i in range(n)
+        ]
+        self.accesses = 0
+
+    def __len__(self):
+        return len(self.rows)
+
+    def __getitem__(self, i):
+        self.accesses += 1
+        return self.rows[i]
+
+    def __iter__(self):
+        raise AssertionError("lazy dataset must not iterate the full source")
+
+
+def test_hf_dataset_is_lazy_and_memoized(rng):
+    src = _FakeHF(6, rng)
+    ds = AudioCaptionDataset(src)
+    assert src.accesses == 0  # construction touches no rows
+    assert len(ds) == 6
+    wav, sr, cap = ds.get_raw(3)
+    assert sr == 16000 and cap == "clip 3" and len(wav) == 3000
+    assert src.accesses == 1
+    # metadata right after get_raw rides the one-row memo (HF rows decode
+    # the audio column on every access — no double decode)
+    assert ds.get_metadata(3) == {"k": 3}
+    assert src.accesses == 1
+    ds.get_raw(0)
+    assert src.accesses == 2
+
+
+def test_hf_dataset_pipeline_end_to_end(bpe_files, rng):
+    vocab, merges = bpe_files
+    tok = RobertaBPETokenizer.from_files(vocab, merges)
+    src = _FakeHF(3, rng)
+    pipe = DataPipeline(AudioCaptionDataset(src), tok, SMALL_MEL,
+                        add_ons=("calculate_relative_bandwidth",), max_text_length=8)
+    batch = pipe.make_batch([0, 2], np.random.default_rng(0))
+    assert batch["log_mel_spec"].shape[0] == 2
+    assert batch["freq_energy_percentile"].shape == (2, 2)
+    assert src.accesses == 2  # one row access per item, metadata memoized
+
+
 def test_spec_augment_masks():
     """Per-item SpecAugment: each batch item gets its OWN contiguous mask
     band (reference draws per item in __getitem__, datasets.py:426-442)."""
