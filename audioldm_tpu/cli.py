@@ -598,6 +598,10 @@ def _add_serve(sub):
     p.add_argument("--scheduler", default="ddim", choices=["ddim", "dpm++", "lcm"])
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--max-batch", type=int, default=None)
+    p.add_argument("--max-adapters", type=int, default=None,
+                   help="bank capacity policy: hot-loading past this count "
+                        "LRU-evicts the least-recently-served adapter not "
+                        "pinned by a composition (daemon only)")
     p.add_argument("--output", default=None, help="output dir (000000.wav ... in request order)")
     p.add_argument("--fp32", action="store_true")
     p.add_argument("--dp", type=int, default=None, help="data-parallel devices")
@@ -668,6 +672,7 @@ def cmd_serve(args):
         batcher = Microbatcher(
             engine, max_batch=args.max_batch or engine.bucket_sizes[-1],
             max_delay_ms=args.batch_delay_ms, base_seed=args.seed,
+            max_adapters=args.max_adapters,
         )
         server = make_server(batcher, modules.vocoder_cfg.sampling_rate,
                              host=args.host, port=args.port)

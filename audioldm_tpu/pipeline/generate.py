@@ -385,25 +385,45 @@ def generate_mel(
     scheduler: str = "ddim",
     window_seconds: Optional[float] = None,
     window_overlap: float = 0.5,
+    latent_keys: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Text -> mel: encode -> CFG denoise scan -> VAE decode. The vocoder
     stage lives in :func:`generate`; splitting here lets callers compile
     text+denoise+decode and the vocoder as two XLA programs (see
     ``make_generate_fn(split_compile=...)``) — XLA's optimization time is
     superlinear in program size, and the monolithic pipeline's cold compile
-    measured far above the sum of its stages (PERF.md compile table)."""
+    measured far above the sum of its stages (PERF.md compile table).
+
+    Init latents are drawn PER ROW, each row from its own key: row i of a
+    default call uses ``fold_in(rng, i)``, so a row's latents depend only
+    on its key — not on the batch size or its position — which is what
+    lets a seeded serving request ride a shared batch and still reproduce
+    bit-for-bit (serve/engine.py derives the same keys, substituting
+    ``fold_in(PRNGKey(seed), i)`` for seeded rows; VERDICT round-3 #6).
+    ``latent_keys`` (``[B, 2]`` uint32, optional) overrides the per-row
+    keys explicitly. The batch ``rng`` is still the source for any
+    in-scan noise (eta>0 / lcm), so those samplers remain batch-rng
+    dependent."""
     b = input_ids.shape[0]
     cond = encode_prompt(modules, input_ids, attention_mask)
     uncond = encode_prompt(modules, uncond_ids, uncond_mask)
     if num_waveforms_per_prompt > 1:
+        if latent_keys is not None:
+            raise ValueError("latent_keys requires num_waveforms_per_prompt == 1 "
+                             "(keys are one per final batch row)")
         cond = jnp.repeat(cond, num_waveforms_per_prompt, axis=0)
         b = b * num_waveforms_per_prompt
     if uncond.shape[0] != b:
         uncond = jnp.broadcast_to(uncond[:1], cond.shape)
 
-    rng, noise_rng = jax.random.split(rng)
+    rng_in = rng
+    rng, _ = jax.random.split(rng)  # keep denoise's in-scan stream distinct
     shape = latent_shape(modules, b, audio_length_in_s)
-    latents = jax.random.normal(noise_rng, shape, jnp.float32)
+    if latent_keys is None:
+        latent_keys = jax.vmap(lambda i: jax.random.fold_in(rng_in, i))(jnp.arange(b))
+    if latent_keys.shape[0] != b:
+        raise ValueError(f"latent_keys rows {latent_keys.shape[0]} != batch {b}")
+    latents = jax.vmap(lambda k: jax.random.normal(k, shape[1:], jnp.float32))(latent_keys)
 
     window_frames = window_stride = None
     if window_seconds is not None:
@@ -564,19 +584,33 @@ def make_generate_fn(
         shapes/dtypes then use the AOT executables; any other shapes fall
         back to the normal jit path (which recompiles per shape as usual).
         Only wired for the plain (non-LoRA) split-compile path — the bench/
-        driver contract (bench.py) and `cli generate` without adapters."""
+        driver contract (bench.py) and `cli generate` without adapters.
+
+        Returns per-stage wall seconds ``{"mel_compile_s", "voc_compile_s"}``
+        (measured inside each thread, so they overlap — the receipts the
+        bench of record emits, VERDICT round-3 #1)."""
+        import time as _time
+
         if not split_compile:
+            t0 = _time.perf_counter()
             fn_plain(modules, input_ids, attention_mask, uncond_ids, uncond_mask, rng)
-            return
+            return {"mel_compile_s": _time.perf_counter() - t0, "voc_compile_s": 0.0}
         from concurrent.futures import ThreadPoolExecutor
 
         args = (input_ids, attention_mask, uncond_ids, uncond_mask, rng)
         mel_aval = jax.eval_shape(fn_plain, modules, *args)
+
+        def _timed(thunk):
+            t0 = _time.perf_counter()
+            out = thunk()
+            return out, _time.perf_counter() - t0
+
         with ThreadPoolExecutor(2) as ex:
-            f_mel = ex.submit(lambda: fn_plain.lower(modules, *args).compile())
-            f_voc = ex.submit(lambda: fn_vocode.lower(modules, mel_aval).compile())
-            c_mel, c_voc = f_mel.result(), f_voc.result()
+            f_mel = ex.submit(_timed, lambda: fn_plain.lower(modules, *args).compile())
+            f_voc = ex.submit(_timed, lambda: fn_vocode.lower(modules, mel_aval).compile())
+            (c_mel, mel_s), (c_voc, voc_s) = f_mel.result(), f_voc.result()
         aot[:] = [(tuple((x.shape, jnp.asarray(x).dtype) for x in args), c_mel, c_voc)]
+        return {"mel_compile_s": mel_s, "voc_compile_s": voc_s}
 
     fn.precompile = precompile
     return fn

@@ -19,15 +19,19 @@ Batching semantics:
 - Unseeded requests share batches; the batch's RNG comes from a monotone
   scheduler counter (deterministic for a fixed arrival grouping, never
   reused across batches — same discipline as ``ServeEngine.flush``).
-- A request with an explicit ``seed`` is served in its OWN batch of 1:
-  the latent draw depends on batch shape and row position, so solo
-  execution is the only way "same seed -> same waveform" can hold
-  independently of what else is in flight.
+- A request with an explicit ``seed`` ALSO shares batches: the engine
+  draws each row's init latents from a per-request key
+  (``ServeEngine._row_keys``), so "same seed -> same waveform" holds
+  independently of what else is in flight. The one exception is a seeded
+  ``lcm`` request — lcm draws inter-step noise from the batch rng, so it
+  is served solo (the old rule, now scoped to the only case needing it).
 
 The HTTP layer is stdlib-only (``http.server``): POST /v1/generate returns
 base64 wav, POST /v1/adapters hot-loads a PEFT LoRA into the running bank
-(no recompile — the adapter bank is a pytree argument, engine.py design
-note), GET /healthz and /v1/stats for operations.
+(no recompile — the adapter bank writes into a preallocated slot, engine.py
+AdapterBank), DELETE /v1/adapters/<name> unloads one, GET /healthz and
+/v1/stats for operations. Capacity: ``max_adapters`` bounds the bank; past
+it, loads evict the least-recently-served adapter (``load_adapter``).
 """
 
 from __future__ import annotations
@@ -37,12 +41,12 @@ import io
 import json
 import threading
 import time
+import urllib.parse
 from collections import deque
 from concurrent.futures import Future
 from dataclasses import dataclass
 from typing import Optional
 
-import jax
 import numpy as np
 
 from audioldm_tpu.serve.engine import AdapterBank, ServeEngine
@@ -90,11 +94,17 @@ class Microbatcher:
         max_batch: int = 8,
         max_delay_ms: float = 50.0,
         base_seed: int = 0,
+        max_adapters: Optional[int] = None,
     ):
         self.engine = engine
         self.max_batch = max_batch
         self.max_delay_ms = max_delay_ms
         self.base_seed = base_seed
+        # hot-load capacity policy: loading a NEW adapter past this count
+        # (or past the bank's max_capacity) evicts the least-recently-served
+        # loaded adapter that no composition references (load_adapter)
+        self.max_adapters = max_adapters
+        self._adapter_last_used: dict[str, float] = {}
         self.batch_sizes: list[int] = []  # observability (tested)
         self.latencies_ms: deque[float] = deque(maxlen=1024)  # submit->result wall
         self.served = 0
@@ -132,9 +142,13 @@ class Microbatcher:
 
     def load_adapter(self, name: str, adapter_tree, rank: int, alpha: Optional[float] = None) -> None:
         """Hot-load (or replace) a LoRA adapter in the running engine.
-        Shape-stable: the bank gather yields ``[B, in, r]`` leaves whatever
-        the bank size, so no compiled program is invalidated; only the
-        per-adapter merged-cache entry for a replaced name is dropped."""
+        Shape-stable: the bank writes into a preallocated slot (donated
+        in-place update, O(slot) — AdapterBank.add), so no compiled program
+        is invalidated; only the per-adapter merged-cache entry for a
+        replaced name is dropped. Loading a NEW name past ``max_adapters``
+        (or the bank's ``max_capacity``) first evicts the least-recently-
+        served loaded adapter that no composition references; if nothing is
+        evictable the load is refused."""
         from audioldm_tpu.config import LoRAConfig
 
         with self._engine_lock:
@@ -153,17 +167,44 @@ class Microbatcher:
                     f"adapter rank {rank} != bank rank {eng.bank.rank}; "
                     "a bank stacks same-rank adapters (engine.py AdapterBank)"
                 )
-            elif name in eng.bank.names:
-                idx = eng.bank.names[name]
-                eng.bank.stacked = jax.tree.map(
-                    lambda bank, leaf: bank.at[idx].set(leaf), eng.bank.stacked, adapter_tree
-                )
             else:
+                if name not in eng.bank.names:
+                    self._evict_for(name)
                 eng.bank.add(name, adapter_tree)
             eng._merged_cache.pop(name, None)
             # compositions built from this component would otherwise keep
             # serving the OLD merged weights (code-review finding)
             eng.refresh_composed(name)
+            self._adapter_last_used[name] = time.monotonic()
+
+    def _evict_for(self, incoming: str) -> None:
+        """Under ``_engine_lock``: free a slot for ``incoming`` if the bank
+        is at its capacity policy, evicting the least-recently-served
+        adapter that is not a composition component."""
+        eng = self.engine
+        loaded = len(eng.bank.names) - 1  # minus the reserved base slot
+        over_policy = self.max_adapters is not None and loaded >= self.max_adapters
+        if not (over_policy or eng.bank.full):
+            return
+        in_use = {c for w in eng.composed.values() for c in w}
+        candidates = [n for n in eng.bank.names
+                      if n != "base" and n != incoming and n not in in_use]
+        if not candidates:
+            raise ValueError(
+                f"adapter bank is at capacity ({loaded} loaded, "
+                f"max_adapters={self.max_adapters}) and every adapter is a "
+                "composition component — remove a composition first"
+            )
+        victim = min(candidates, key=lambda n: self._adapter_last_used.get(n, 0.0))
+        eng.remove_adapter(victim)
+        self._adapter_last_used.pop(victim, None)
+
+    def remove_adapter(self, name: str) -> None:
+        """Unload an adapter or composition from the running engine
+        (engine.remove_adapter: slot freed + merged cache dropped)."""
+        with self._engine_lock:
+            self.engine.remove_adapter(name)
+            self._adapter_last_used.pop(name, None)
 
     def compose_adapter(self, name: str, weights: dict) -> None:
         """Register a weighted multi-LoRA composition in the running engine
@@ -198,16 +239,21 @@ class Microbatcher:
     # -- scheduler ------------------------------------------------------------
     def _take_batch(self) -> Optional[list[_Pending]]:
         """Under ``_cv``: pop the next batch, or None to keep waiting.
-        The head request anchors the batch: seeded heads go out solo at
-        once; unseeded heads collect same-params unseeded peers until
-        ``max_batch`` or the head's deadline."""
+        The head request anchors the batch: it collects same-params peers
+        (seeded or not — per-row latent keys make seeds batch-independent)
+        until ``max_batch`` or the head's deadline. Seeded lcm requests are
+        the one solo case (inter-step noise rides the batch rng)."""
         if not self._pending:
             return None
         head = self._pending[0]
-        if head.seed is not None:
+
+        def solo(r: _Pending) -> bool:
+            return r.seed is not None and r.params.scheduler == "lcm"
+
+        if solo(head):
             self._pending.popleft()
             return [head]
-        same = [r for r in self._pending if r.seed is None and r.params == head.params]
+        same = [r for r in self._pending if not solo(r) and r.params == head.params]
         deadline = head.t_submit + self.max_delay_ms / 1000.0
         if len(same) < self.max_batch and time.monotonic() < deadline and self._running:
             # keep waiting for the window to fill (or close by deadline)
@@ -231,11 +277,15 @@ class Microbatcher:
 
     def _serve(self, batch: list[_Pending]) -> None:
         p = batch[0].params
-        if batch[0].seed is not None:
-            seed = batch[0].seed
+        if len(batch) == 1 and batch[0].seed is not None and p.scheduler == "lcm":
+            # solo seeded lcm: batch-rng reproducibility (docstring rule)
+            seed, seeds = batch[0].seed, None
         else:
             seed = self.base_seed + self._batch_ordinal
             self._batch_ordinal += 1
+            # per-request seeds ride per-row latent keys — reproducible
+            # inside any shared batch (ServeEngine._row_keys)
+            seeds = [r.seed for r in batch] if any(r.seed is not None for r in batch) else None
         try:
             with self._engine_lock:
                 wavs = self.engine.generate(
@@ -249,6 +299,7 @@ class Microbatcher:
                     negative_prompt=p.negative_prompt,
                     window_seconds=p.window_seconds,
                     window_overlap=p.window_overlap,
+                    seeds=seeds,
                 )
         except Exception as e:  # noqa: BLE001
             if len(batch) > 1:
@@ -266,6 +317,8 @@ class Microbatcher:
         now = time.monotonic()
         for i, r in enumerate(batch):
             self.latencies_ms.append((now - r.t_submit) * 1e3)
+            if r.adapter and r.adapter != "base":
+                self._adapter_last_used[r.adapter] = now  # LRU eviction order
             r.future.set_result(wavs[i])
 
 
@@ -330,6 +383,23 @@ def make_server(
             if self.path == "/v1/adapters":
                 return self._load_adapter(body)
             self._json(404, {"error": f"no route {self.path}"})
+
+        def do_DELETE(self):
+            prefix = "/v1/adapters/"
+            if not self.path.startswith(prefix) or len(self.path) <= len(prefix):
+                return self._json(404, {"error": f"no route {self.path} "
+                                        "(DELETE /v1/adapters/<name>)"})
+            name = urllib.parse.unquote(self.path[len(prefix):])
+            try:
+                batcher.remove_adapter(name)
+            except KeyError as e:
+                return self._json(404, {"error": str(e)})
+            except ValueError as e:
+                return self._json(409, {"error": str(e)})
+            bank = batcher.engine.bank
+            self._json(200, {"removed": name,
+                             "adapters": sorted(bank.names) if bank else ["base"],
+                             "composed": sorted(batcher.engine.composed)})
 
         def _generate(self, body: dict) -> None:
             if "prompt" not in body:

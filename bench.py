@@ -129,6 +129,7 @@ def main():
     from concurrent.futures import ThreadPoolExecutor
 
     t_all = time.perf_counter()
+    stages = {}
     if os.environ.get("AUDIOLDM_BENCH_AOT") != "0":
         with ThreadPoolExecutor(2) as ex:
             f_init = ex.submit(_run_init)
@@ -137,11 +138,13 @@ def main():
             # precompile lowers from the AVAL bundle only — wait for it
             # before mutating the modules fields it may still be flattening
             # (advisor round-3 finding: unsynchronized cross-thread mutation)
-            f_pre.result()
+            stages = f_pre.result() or {}
             modules.unet, modules.vae, modules.text_encoder, modules.vocoder = params
     else:
         (modules.unet, modules.vae, modules.text_encoder, modules.vocoder), init_s = _run_init()
     print(f"# init: {init_s:.1f}s (overlapped with stage compiles)", file=sys.stderr)
+    for k, v in stages.items():
+        print(f"# {k}: {v:.1f}s (overlapped)", file=sys.stderr)
     run(0)
     compile_s = time.perf_counter() - t_all
     print(f"# compile+warmup: {compile_s:.1f}s", file=sys.stderr)
@@ -152,6 +155,49 @@ def main():
     for i in range(iters):
         run(2 + i)
     dt = (time.perf_counter() - t0) / iters
+
+    # secondary few-step sampler metrics (VERDICT round-3 #8): DPM-Solver++
+    # at 25 steps and LCM at 4 steps, tracked in the bench of record so
+    # regressions in the fast paths are caught round-over-round. They share
+    # ONE extra vocoder program; failures degrade to null, never kill the
+    # headline. AUDIOLDM_BENCH_FAST=1 skips them (headline-only run).
+    secondary = {"dpmpp25_s": None, "lcm4_s": None}
+    if os.environ.get("AUDIOLDM_BENCH_FAST") != "1":
+        from audioldm_tpu.pipeline.generate import generate_mel, vocode
+
+        voc_samples = int(seconds * modules.vocoder_cfg.sampling_rate)
+
+        @jax.jit
+        def _voc2(mods, mel):
+            return vocode(mods, mel, voc_samples)
+
+        def _mk(n, sched):
+            @jax.jit
+            def _mel(mods, i, m, ui, um, rng):
+                return generate_mel(mods, i, m, ui, um, rng, n, seconds,
+                                    guidance, dtype=jnp.bfloat16, scheduler=sched)
+            return _mel
+
+        for key, n, sched in (("dpmpp25_s", 25, "dpm++"), ("lcm4_s", 4, "lcm")):
+            try:
+                mel_fn = _mk(n, sched)
+
+                def run2(seed):
+                    wav = _voc2(modules, mel_fn(modules, ids, mask, u_ids, u_mask,
+                                                jax.random.PRNGKey(seed)))
+                    return jax.device_get(wav[0, :8])
+
+                tc = time.perf_counter()
+                run2(0)
+                print(f"# {key} compile+warmup: {time.perf_counter() - tc:.1f}s",
+                      file=sys.stderr)
+                run2(1)
+                t0 = time.perf_counter()
+                for i in range(iters):
+                    run2(2 + i)
+                secondary[key] = round((time.perf_counter() - t0) / iters, 4)
+            except Exception as e:  # noqa: BLE001 — secondary must not kill headline
+                print(f"# {key} FAILED: {type(e).__name__}: {e}", file=sys.stderr)
 
     # roofline accounting (analytic matmul-class FLOPs; utils/flops.py is
     # cross-checked against XLA cost_analysis in tests/test_flops.py)
@@ -172,6 +218,12 @@ def main():
                 "padded_peak_frac": round(fl.mfu(total.padded, dt), 4),
                 "init_s": round(init_s, 1),
                 "compile_s": round(compile_s, 1),
+                # per-stage compile receipts (threads overlap; VERDICT r3 #1)
+                "mel_compile_s": round(stages["mel_compile_s"], 1) if stages else None,
+                "voc_compile_s": round(stages["voc_compile_s"], 1) if stages else None,
+                # few-step samplers (NOT the headline; 50-step DDIM is)
+                "ddim50_s": round(dt, 4),
+                **secondary,
             }
         )
     )

@@ -93,21 +93,43 @@ def test_param_groups_never_share_a_batch(engine):
         mb.close()
 
 
-def test_seeded_request_is_solo_and_reproducible(engine):
+def test_seeded_request_batches_and_reproduces(engine):
     """An explicit seed pins the exact waveform independent of co-arriving
-    traffic: it must match engine.generate([prompt], seed=s) bit-for-bit."""
-    mb = Microbatcher(engine, max_batch=4, max_delay_ms=10_000.0)
+    traffic — WITHOUT a solo batch (VERDICT round-3 #6): the seeded request
+    shares its batch with unseeded peers and still matches
+    engine.generate([prompt], seed=s): identical latents, waveform equal
+    to float-fusion tolerance (the solo call compiles a batch-1 program)."""
+    mb = Microbatcher(engine, max_batch=2, max_delay_ms=10_000.0, base_seed=7)
     try:
         f_seeded = mb.submit("hip hop beat", params=PARAMS, seed=123)
+        f_plain = mb.submit("smooth jazz", params=PARAMS)
         wav = f_seeded.result(timeout=120)
-        # unseeded peers queued behind it still complete (deadline path)
-        f_bg = mb.submit("smooth jazz", params=PARAMS)
-        mb.close()  # drain
-        assert f_bg.result(timeout=1).shape == (160,)
+        assert f_plain.result(timeout=120).shape == (160,)
+        assert mb.batch_sizes == [2]  # seeded traffic no longer serializes
         solo = engine.generate(["hip hop beat"], num_inference_steps=2,
                                audio_length_in_s=0.01, guidance_scale=2.0, seed=123)
+        np.testing.assert_allclose(wav, solo[0], atol=1e-6)
+    finally:
+        mb.close()
+
+
+def test_seeded_lcm_is_solo(engine):
+    """lcm draws inter-step noise from the BATCH rng, so a seeded lcm
+    request is the one remaining solo case; unseeded lcm still batches."""
+    lcm = GenParams(num_inference_steps=2, audio_length_in_s=0.01,
+                    guidance_scale=2.0, scheduler="lcm")
+    mb = Microbatcher(engine, max_batch=2, max_delay_ms=10_000.0, base_seed=7)
+    try:
+        f_seeded = mb.submit("hip hop beat", params=lcm, seed=123)
+        f_plain = mb.submit("smooth jazz", params=lcm)
+        wav = f_seeded.result(timeout=180)
+        mb.close()  # drain the unseeded one
+        assert f_plain.result(timeout=120).shape == (160,)
+        assert 1 in mb.batch_sizes  # the seeded lcm went out alone
+        solo = engine.generate(["hip hop beat"], num_inference_steps=2,
+                               audio_length_in_s=0.01, guidance_scale=2.0,
+                               seed=123, scheduler="lcm")
         np.testing.assert_array_equal(wav, solo[0])
-        assert 1 in mb.batch_sizes
     finally:
         mb.close()
 
@@ -370,5 +392,73 @@ def test_unservable_combination_fails_solo_not_batch():
         assert f1.result(timeout=180).shape == (160,)
         assert f2.result(timeout=180).shape == (160,)
         assert 2 in mb.batch_sizes or mb.batch_sizes.count(1) >= 2
+    finally:
+        mb.close()
+
+
+def _delete(url):
+    req = urllib.request.Request(url, method="DELETE")
+    try:
+        with urllib.request.urlopen(req, timeout=30) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_http_delete_adapter():
+    """DELETE /v1/adapters/<name> unloads a bank adapter; deleting a
+    composition component is a 409 until the composition goes first;
+    unknown names are 404 (VERDICT round-3 #7). Private engine — the
+    deletes must not poison the shared module fixture."""
+    mb = Microbatcher(_make_engine(), max_batch=1, max_delay_ms=10.0)
+    srv = make_server(mb, sample_rate=16000, port=0)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        code, resp = _post(base + "/v1/adapters",
+                           {"name": "mix", "compose": {"hiphop": 1.0}})
+        assert code == 200
+        code, resp = _delete(base + "/v1/adapters/hiphop")
+        assert code == 409 and "component" in resp["error"]
+        code, resp = _delete(base + "/v1/adapters/mix")
+        assert code == 200 and resp["removed"] == "mix"
+        code, resp = _delete(base + "/v1/adapters/hiphop")
+        assert code == 200 and resp["adapters"] == ["base"]
+        code, resp = _post(base + "/v1/generate",
+                           {"prompt": "x", "adapter": "hiphop", "steps": 2, "seconds": 0.01})
+        assert code == 400  # gone: serving it fails fast, not silently on base
+        code, resp = _delete(base + "/v1/adapters/hiphop")
+        assert code == 404
+        code, resp = _delete(base + "/v1/adapters/")
+        assert code == 404
+    finally:
+        srv.shutdown()
+        srv.server_close()
+        mb.close()
+
+
+def test_lru_eviction_at_max_adapters():
+    """Loading a NEW adapter past max_adapters evicts the least-recently-
+    served one; composition components are never evicted."""
+    eng = _make_engine(with_bank=True)  # starts with 'hiphop'
+    lcfg = eng.lora_cfg
+    mk = lambda s: jax.tree.map(lambda x: x + 0.01 * s,
+                                init_lora(jax.random.PRNGKey(s), eng.modules.unet, lcfg))
+    mb = Microbatcher(eng, max_batch=1, max_delay_ms=10.0, max_adapters=2)
+    try:
+        mb.load_adapter("jazz", mk(2), lcfg.r)
+        assert sorted(eng.bank.names) == ["base", "hiphop", "jazz"]
+        # hiphop was pre-loaded at engine construction (no usage stamp ->
+        # treated as least recent); jazz is load-stamped -> hiphop is evicted
+        mb.load_adapter("funk", mk(3), lcfg.r)
+        assert sorted(eng.bank.names) == ["base", "funk", "jazz"]
+        # replacing an EXISTING name never evicts
+        mb.load_adapter("jazz", mk(4), lcfg.r)
+        assert sorted(eng.bank.names) == ["base", "funk", "jazz"]
+        # a composition pins its components: with both slots pinned the
+        # load is refused rather than breaking a composition
+        mb.compose_adapter("mix", {"jazz": 0.5, "funk": 0.5})
+        with pytest.raises(ValueError, match="composition component"):
+            mb.load_adapter("rock", mk(5), lcfg.r)
     finally:
         mb.close()

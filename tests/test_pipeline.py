@@ -89,8 +89,9 @@ def test_guidance_one_equals_cond_only(modules):
 
     cond = _encode_prompt(modules, ids, mask)
     shape = latent_shape(modules, 1, 0.01)
-    _, noise_rng = jax.random.split(rng)  # generate() splits before sampling
-    latents = jax.random.normal(noise_rng, shape, jnp.float32)
+    # generate() draws row i's latents from fold_in(rng, i) (per-row keys —
+    # batch-composition-independent seeding, see generate_mel docstring)
+    latents = jax.random.normal(jax.random.fold_in(rng, 0), shape[1:], jnp.float32)[None]
     lat = _denoise(modules, latents, cond, None, 2, 1.0)
     from audioldm_tpu.models import vae as vae_lib
     from audioldm_tpu.models.vocoder import apply_vocoder

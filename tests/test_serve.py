@@ -99,6 +99,43 @@ def test_merged_cache_matches_bank_path(engine):
     np.testing.assert_allclose(via_bank, np.asarray(wav), atol=2e-4)
 
 
+def test_seeded_rows_are_batch_independent(engine):
+    """VERDICT round-3 #6: "same seed -> same waveform" must hold whatever
+    else is co-batched. A seeded row embedded in a mixed batch (different
+    prompts, different row position) must be bit-identical to the solo
+    seeded call — per-row latent keys (ServeEngine._row_keys) make the
+    draw independent of batch size and row ordinal. The LATENTS are
+    bit-identical; the decoded waveform matches to float tolerance (XLA
+    fuses each batch-size program differently, ~1e-8 reassociation
+    jitter; bit-exact when the batch shapes coincide)."""
+    gen = {k: v for k, v in GEN.items() if k != "seed"}
+    solo = engine.generate(["hip hop beat"], seed=123, **gen)
+    prompts = ["smooth jazz", "hip hop beat", "lo-fi rain", "drum solo"]
+    mixed = engine.generate(prompts, seeds=[None, 123, None, None], seed=7, **gen)
+    np.testing.assert_allclose(mixed[1], solo[0], atol=1e-6)
+    # two different seeds in ONE batch each reproduce their solo calls
+    solo5 = engine.generate(["lo-fi rain"], seed=5, **gen)
+    both = engine.generate(prompts, seeds=[None, 123, 5, None], seed=9, **gen)
+    np.testing.assert_allclose(both[1], solo[0], atol=1e-6)
+    np.testing.assert_allclose(both[2], solo5[0], atol=1e-6)
+    # unseeded rows still vary with the batch rng (no accidental pinning)
+    assert not np.array_equal(mixed[0], both[0])
+
+
+def test_seeded_rows_survive_mixed_adapter_split(engine):
+    """Seeds must thread through the per-adapter sub-batch split: the
+    seeded row's output equals the solo seeded call on its adapter even
+    though the mixed batch was re-grouped and re-keyed per group."""
+    gen = {k: v for k, v in GEN.items() if k != "seed"}
+    solo = engine.generate(["hip hop beat"], adapters=["jazz"], seed=77, **gen)
+    mixed = engine.generate(
+        ["a beat", "hip hop beat", "quiet piano"],
+        adapters=["base", "jazz", "hiphop"],
+        seeds=[None, 77, None], seed=3, **gen,
+    )
+    np.testing.assert_allclose(mixed[1], solo[0], atol=1e-6)
+
+
 def test_serve_dp_mesh_matches_single(engine):
     """DP-sharded serving matches unsharded output (BASELINE config 5:
     data-parallel over ICI, validated on the virtual CPU mesh)."""
@@ -583,3 +620,91 @@ def test_refresh_composed_recomputes_from_new_component(engine):
     # blend == 1.0*x, so the refreshed composition equals the new component merged
     direct = eng.generate(["beat"], adapters=["x"], **GEN)
     np.testing.assert_allclose(out2, direct, atol=1e-6)
+
+
+# -- AdapterBank capacity/slot mechanics (VERDICT round-3 #7) ---------------
+
+
+def _toy_adapter(v: float) -> dict:
+    return {"q": {"a": jnp.full((4, 2), v, jnp.float32),
+                  "b": jnp.full((2, 4), v, jnp.float32)}}
+
+
+def test_bank_prealloc_growth_and_slot_reuse():
+    """Slots are preallocated: adds below capacity keep leaf shapes stable
+    (hot-load never changes any shape a caller could have cached), a full
+    bank doubles once, remove zeroes + frees the slot, and the next add
+    reuses it — no full-bank re-concat anywhere."""
+    bank = AdapterBank(_toy_adapter(0.0), rank=2, capacity=4)
+    assert bank.capacity == 4 and len(bank) == 1  # base only
+    bank.add("x", _toy_adapter(1.0))
+    bank.add("y", _toy_adapter(2.0))
+    assert bank.capacity == 4  # stable below capacity
+    assert bank.names == {"base": 0, "x": 1, "y": 2}
+    got = bank.gather(bank.indices(["y", "base", "x"]))
+    np.testing.assert_array_equal(np.asarray(got["q"]["a"][0]), np.full((4, 2), 2.0))
+    np.testing.assert_array_equal(np.asarray(got["q"]["a"][1]), np.zeros((4, 2)))
+    np.testing.assert_array_equal(np.asarray(got["q"]["b"][2]), np.full((2, 4), 1.0))
+
+    bank.add("z", _toy_adapter(3.0))   # slot 3 = last free
+    bank.add("w", _toy_adapter(4.0))   # full -> doubles
+    assert bank.capacity == 8
+
+    bank.remove("x")
+    assert "x" not in bank.names
+    # the freed slot is ZEROED: a stale index gathers base weights,
+    # never deleted ones
+    stale = np.asarray(jax.tree.leaves(bank.stacked)[0][1])
+    assert np.abs(stale).max() == 0.0
+    # and reused by the next add
+    assert bank.add("r", _toy_adapter(5.0)) == 1
+    # replace-in-place keeps the slot
+    assert bank.add("r", _toy_adapter(6.0)) == 1
+    got = bank.gather(bank.indices(["r"]))
+    np.testing.assert_array_equal(np.asarray(got["q"]["a"][0]), np.full((4, 2), 6.0))
+
+    with pytest.raises(KeyError, match="unknown adapter"):
+        bank.remove("nope")
+    with pytest.raises(ValueError, match="base"):
+        bank.remove("base")
+    with pytest.raises(ValueError, match="reserved"):
+        bank.add("base", _toy_adapter(1.0))
+
+
+def test_bank_max_capacity_enforced():
+    bank = AdapterBank(_toy_adapter(0.0), rank=2, capacity=2, max_capacity=2)
+    bank.add("x", _toy_adapter(1.0))
+    assert bank.full
+    with pytest.raises(ValueError, match="full"):
+        bank.add("y", _toy_adapter(2.0))
+    bank.add("x", _toy_adapter(3.0))  # replacing never needs a new slot
+    bank.remove("x")
+    assert not bank.full
+    bank.add("y", _toy_adapter(2.0))
+
+
+def test_engine_remove_adapter_guards():
+    """remove_adapter frees bank slots and drops merged caches; removing a
+    composition component is refused until the composition goes first."""
+    from audioldm_tpu.config import DDIMConfig
+
+    modules = random_modules(
+        jax.random.PRNGKey(0),
+        unet_cfg=TINY_UNET, vae_cfg=TINY_VAE, text_cfg=TINY_TEXT, vocoder_cfg=TINY_VOC,
+        ddim_cfg=DDIMConfig(),
+    )
+    lcfg = LoRAConfig(r=2, lora_alpha=4)
+    a1 = init_lora(jax.random.PRNGKey(1), modules.unet, lcfg)
+    a2 = init_lora(jax.random.PRNGKey(2), modules.unet, lcfg)
+    eng = ServeEngine(modules, DummyTokenizer(), lcfg,
+                      bank=AdapterBank.from_adapters({"p": a1, "q": a2}, lcfg),
+                      dtype=jnp.float32)
+    eng.add_composed("mix", {"p": 0.5, "q": 0.5})
+    with pytest.raises(ValueError, match="component"):
+        eng.remove_adapter("p")
+    eng.remove_adapter("mix")       # composition first...
+    assert "mix" not in eng.composed and "mix" not in eng._merged_cache
+    eng.remove_adapter("p")         # ...then the component
+    assert not eng.has_adapter("p") and eng.has_adapter("q")
+    with pytest.raises(KeyError, match="unknown adapter"):
+        eng.remove_adapter("p")
