@@ -15,6 +15,10 @@ from audioldm_tpu.data.dataset import (
 from audioldm_tpu.data.tokenizer import RobertaBPETokenizer
 from audioldm_tpu.data.wavio import read_wav, slice_wav, write_wav
 
+# per-test quick marks: the text-bucketing embedding-equivalence test
+# (~11 s, compiles the CLAP tower at two bucket lengths) stays out of the
+# quick tier (pyproject markers)
+
 SMALL_MEL = MelConfig(duration=0.32)  # 5120 samples -> 32 frames
 
 
@@ -42,6 +46,7 @@ def bpe_files(tmp_path_factory):
     return str(d / "vocab.json"), str(d / "merges.txt")
 
 
+@pytest.mark.quick
 def test_vendored_bpe_matches_rust(bpe_files):
     from tokenizers.implementations import ByteLevelBPETokenizer
 
@@ -58,6 +63,7 @@ def test_vendored_bpe_matches_rust(bpe_files):
         assert ours.encode_text(text) == rust.encode(text).ids, text
 
 
+@pytest.mark.quick
 def test_tokenizer_call_pads_and_truncates(bpe_files):
     vocab, merges = bpe_files
     tok = RobertaBPETokenizer.from_files(vocab, merges)
@@ -72,6 +78,7 @@ def test_tokenizer_call_pads_and_truncates(bpe_files):
     assert long["input_ids"][0, -1] == tok.eos_token_id
 
 
+@pytest.mark.quick
 def test_wav_roundtrip(tmp_path, rng):
     x = rng.uniform(-0.9, 0.9, 8000).astype(np.float32)
     p = str(tmp_path / "a.wav")
@@ -82,6 +89,7 @@ def test_wav_roundtrip(tmp_path, rng):
     np.testing.assert_allclose(y, x, atol=5e-5)
 
 
+@pytest.mark.quick
 def test_slice_wav(tmp_path, rng):
     x = (rng.standard_normal(16000 * 3) * 0.3).astype(np.float32)
     p = str(tmp_path / "long.wav")
@@ -92,6 +100,7 @@ def test_slice_wav(tmp_path, rng):
     assert len(seg) == 16000
 
 
+@pytest.mark.quick
 def test_random_segment_silence_retry():
     rng = np.random.default_rng(0)
     wav = np.zeros(10000, np.float32)
@@ -104,6 +113,7 @@ def test_random_segment_silence_retry():
     assert hits > 10  # retry raises the hit rate far above the 10% base rate
 
 
+@pytest.mark.quick
 def test_trim_silence():
     wav = np.concatenate([np.zeros(3000), np.full(2000, 0.3), np.zeros(3000)]).astype(np.float32)
     out = trim_silence(wav)
@@ -111,6 +121,7 @@ def test_trim_silence():
     assert np.max(np.abs(out)) == pytest.approx(0.3)
 
 
+@pytest.mark.quick
 def test_pipeline_batch_shapes(bpe_files, rng):
     vocab, merges = bpe_files
     tok = RobertaBPETokenizer.from_files(vocab, merges)
@@ -131,6 +142,7 @@ def test_pipeline_batch_shapes(bpe_files, rng):
     assert np.max(np.abs(batch["waveform"])) <= 0.5 + 1e-6
 
 
+@pytest.mark.quick
 def test_pipeline_iterator(bpe_files, rng):
     vocab, merges = bpe_files
     tok = RobertaBPETokenizer.from_files(vocab, merges)
@@ -144,6 +156,7 @@ def test_pipeline_iterator(bpe_files, rng):
     assert batches[0]["log_mel_spec"].shape[0] == 2
 
 
+@pytest.mark.quick
 def test_pipeline_iterator_rejects_impossible_batch(bpe_files, rng):
     """A dataset smaller than the (global) batch with drop_last must raise,
     not spin forever yielding nothing."""
@@ -157,6 +170,7 @@ def test_pipeline_iterator_rejects_impossible_batch(bpe_files, rng):
         next(iter(pipe.batches(8, np.random.default_rng(0))))
 
 
+@pytest.mark.quick
 def test_wav_dir_dataset(tmp_path, bpe_files, rng):
     for i in range(2):
         write_wav(str(tmp_path / f"c{i}.wav"), (rng.standard_normal(6000) * 0.2).astype(np.float32), 16000)
@@ -167,6 +181,7 @@ def test_wav_dir_dataset(tmp_path, bpe_files, rng):
     assert sr == 16000 and cap == "caption 1" and len(wav) == 6000
 
 
+@pytest.mark.quick
 def test_wav_dir_dataset_is_lazy(tmp_path, rng, monkeypatch):
     """Construction must do O(1) decode work — the reference keeps its HF
     dataset lazy (datasets.py:95-117); an eager copy is O(dataset) RAM."""
@@ -217,6 +232,7 @@ class _FakeHF:
         raise AssertionError("lazy dataset must not iterate the full source")
 
 
+@pytest.mark.quick
 def test_hf_dataset_is_lazy_and_memoized(rng):
     src = _FakeHF(6, rng)
     ds = AudioCaptionDataset(src)
@@ -233,6 +249,7 @@ def test_hf_dataset_is_lazy_and_memoized(rng):
     assert src.accesses == 2
 
 
+@pytest.mark.quick
 def test_hf_dataset_pipeline_end_to_end(bpe_files, rng):
     vocab, merges = bpe_files
     tok = RobertaBPETokenizer.from_files(vocab, merges)
@@ -245,6 +262,7 @@ def test_hf_dataset_pipeline_end_to_end(bpe_files, rng):
     assert src.accesses == 2  # one row access per item, metadata memoized
 
 
+@pytest.mark.quick
 def test_spec_augment_masks():
     """Per-item SpecAugment: each batch item gets its OWN contiguous mask
     band (reference draws per item in __getitem__, datasets.py:426-442)."""
@@ -280,6 +298,7 @@ def test_spec_augment_masks():
     np.testing.assert_array_equal(np.where(lv == 1.0)[0], [0, 3])
 
 
+@pytest.mark.quick
 def test_pipeline_spec_augment_per_item(bpe_files, rng):
     vocab, merges = bpe_files
     tok = RobertaBPETokenizer.from_files(vocab, merges)
@@ -319,6 +338,7 @@ def test_text_bucketing_embedding_equivalence(bpe_files, rng):
     np.testing.assert_allclose(np.asarray(e_full), np.asarray(e_short), atol=1e-5)
 
 
+@pytest.mark.quick
 def test_pipeline_prefetch_thread(bpe_files, rng):
     vocab, merges = bpe_files
     tok = RobertaBPETokenizer.from_files(vocab, merges)

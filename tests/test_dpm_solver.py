@@ -9,13 +9,14 @@ import numpy as np
 from audioldm_tpu.config import DDIMConfig
 from audioldm_tpu.models.dpm_solver import dpm_solver_step, solver_timesteps
 from audioldm_tpu.models.scheduler import add_noise, make_schedule
-
+import pytest
 
 def _acp(cfg):
     betas = np.linspace(cfg.beta_start**0.5, cfg.beta_end**0.5, cfg.num_train_timesteps) ** 2
     return np.cumprod(1 - betas)
 
 
+@pytest.mark.quick
 def test_exact_eps_stays_on_trajectory(rng):
     cfg = DDIMConfig()
     sched = make_schedule(cfg)

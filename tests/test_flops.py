@@ -19,6 +19,9 @@ import pytest
 from audioldm_tpu.config import ClapTextConfig, UNetConfig, VAEConfig, VocoderConfig
 from audioldm_tpu.utils import flops as fl
 
+# per-test quick marks: the UNet real-geometry compile (~15 s) stays out of
+# the quick tier (pyproject markers); the rest are cheap enough
+
 
 def _xla_flops(fn, *args) -> float:
     compiled = jax.jit(fn).lower(*args).compile()
@@ -65,6 +68,7 @@ def test_unet_step_flops_real_geometry():
     assert qk_p / qk_u > 4.0  # head_dim 16 on 128 lanes -> 8x on QK^T
 
 
+@pytest.mark.quick
 def test_vae_flops_real_geometry():
     from audioldm_tpu.models import vae as vae_lib
 
@@ -81,6 +85,7 @@ def test_vae_flops_real_geometry():
     _check(fl.vae_decode_flops(cfg, 1, 256, 16).useful, xla, rtol=0.12)
 
 
+@pytest.mark.quick
 def test_vocoder_flops_real_geometry():
     from audioldm_tpu.models.vocoder import apply_vocoder, init_vocoder
 
@@ -92,6 +97,7 @@ def test_vocoder_flops_real_geometry():
     _check(fl.vocoder_flops(cfg, 1, 1024).useful, xla, rtol=0.15)
 
 
+@pytest.mark.quick
 def test_clap_text_flops():
     from audioldm_tpu.models.clap_text import apply_clap_text, init_clap_text
 
@@ -104,6 +110,7 @@ def test_clap_text_flops():
     _check(fl.clap_text_flops(cfg, 2, 512).useful, xla, rtol=0.12)
 
 
+@pytest.mark.quick
 def test_pipeline_and_train_totals():
     """Workload aggregates: sanity ranges + stage composition."""
     stages = fl.pipeline_flops(steps=50)

@@ -8,6 +8,9 @@ import numpy as np
 import torch
 
 from audioldm_tpu.ops.invert import griffin_lim, inv_mel_spec, istft, stft_complex
+import pytest
+
+pytestmark = pytest.mark.quick  # fast core-numerics tier (pyproject markers)
 
 
 def test_istft_roundtrip(rng):

@@ -12,6 +12,8 @@ import torch
 
 from audioldm_tpu.ops.kaldi import kaldi_fbank, mel_banks
 
+pytestmark = pytest.mark.quick  # fast core-numerics tier (pyproject markers)
+
 
 def torch_kaldi_fbank(wav: torch.Tensor, sf: int, num_bins: int = 128) -> torch.Tensor:
     """Independent torch re-derivation of torchaudio.compliance.kaldi.fbank

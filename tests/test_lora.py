@@ -20,6 +20,10 @@ from audioldm_tpu.lora import (
 from audioldm_tpu.models import unet as unet_lib
 from audioldm_tpu.models.nn import attention, init_attention
 
+# per-test quick marks: the two unet-integration LoRA tests (each pays the
+# full-graph eager dispatch, ~12-50 s) stay out of the quick tier; merge
+# math is quick-covered by the linear-layer peft parity test
+
 TINY_UNET = UNetConfig(
     in_channels=4,
     out_channels=4,
@@ -33,6 +37,7 @@ TINY_UNET = UNetConfig(
 )
 
 
+@pytest.mark.quick
 def test_peft_linear_parity(rng):
     """Our unmerged LoRA path must equal peft's Linear LoRA layer with shared
     weights (r=2, alpha=2, the reference's training config)."""
@@ -117,6 +122,7 @@ def test_merge_equals_unmerged_apply(rng):
         np.testing.assert_allclose(np.asarray(va), np.asarray(vb), atol=1e-5)
 
 
+@pytest.mark.quick
 def test_peft_export_import_roundtrip():
     params = unet_lib.init_unet(jax.random.PRNGKey(0), TINY_UNET)
     cfg = LoRAConfig(r=2, lora_alpha=2)
@@ -134,6 +140,7 @@ def test_peft_export_import_roundtrip():
         np.testing.assert_allclose(np.asarray(va), np.asarray(vb), atol=1e-6)
 
 
+@pytest.mark.quick
 def test_import_accelerate_save_state_format():
     """accelerator.save_state writes keys with '.default.' adapter names
     (the format generate_audio.py:32-33 loads)."""
@@ -149,6 +156,7 @@ def test_import_accelerate_save_state_format():
     np.testing.assert_allclose(np.asarray(node["a"]), a.T)
 
 
+@pytest.mark.quick
 def test_compose_adapters_exact():
     """compose_adapters represents sum_i w_i*(alpha_i/r_i)*A_i B_i EXACTLY via
     rank concatenation: merging the composition equals sequentially merging
@@ -216,6 +224,7 @@ def test_compose_adapters_exact():
         compose_adapters([])
 
 
+@pytest.mark.quick
 def test_compose_adapters_matches_peft_add_weighted_cat(rng):
     """compose_adapters must reproduce peft's add_weighted_adapter
     (combination_type="cat" — peft's exact method) with shared weights:

@@ -17,6 +17,8 @@ from audioldm_tpu.ops import (
     stft_magnitude,
 )
 
+pytestmark = pytest.mark.quick  # fast core-numerics tier (pyproject markers)
+
 
 def test_hann_window_matches_torch():
     ours = hann_window(1024)

@@ -11,6 +11,9 @@ from audioldm_tpu.eval import (
     kernel_audio_distance,
     median_pairwise_distance,
 )
+import pytest
+
+pytestmark = pytest.mark.quick  # fast core-numerics tier (pyproject markers)
 
 
 def _torch_kad(x, y, kernel="gaussian", eps=1e-8, scale=100.0, bandwidth=None):

@@ -8,6 +8,8 @@ from audioldm_tpu.data import native
 from audioldm_tpu.ops import resample
 from audioldm_tpu.ops.mel import normalize_wav
 
+pytestmark = pytest.mark.quick  # fast core-numerics tier (pyproject markers)
+
 
 @pytest.fixture(scope="module", autouse=True)
 def require_native():

@@ -12,6 +12,8 @@ from audioldm_tpu.config import MelConfig
 from audioldm_tpu.data import plugins_meta as pm
 from audioldm_tpu.data.dataset import PLUGINS
 
+pytestmark = pytest.mark.quick  # fast core-numerics tier (pyproject markers)
+
 CFG = MelConfig()
 
 

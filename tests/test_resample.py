@@ -5,6 +5,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from audioldm_tpu.ops import resample
+import pytest
+
+pytestmark = pytest.mark.quick  # fast core-numerics tier (pyproject markers)
 
 
 def test_identity():

@@ -13,6 +13,9 @@ from audioldm_tpu.models.scheduler import (
     inference_timesteps,
     make_schedule,
 )
+import pytest
+
+pytestmark = pytest.mark.quick  # fast core-numerics tier (pyproject markers)
 
 
 def _np_alphas_cumprod(cfg: DDIMConfig):

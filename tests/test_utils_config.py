@@ -14,6 +14,9 @@ from audioldm_tpu.utils.tools import (
     retrieve,
     verify_checkpoint,
 )
+import pytest
+
+pytestmark = pytest.mark.quick  # fast core-numerics tier (pyproject markers)
 
 
 def test_run_config_from_yaml():

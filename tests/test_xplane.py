@@ -13,6 +13,8 @@ import jax.numpy as jnp
 import pytest
 
 import sys
+
+pytestmark = pytest.mark.quick  # fast core-numerics tier (pyproject markers)
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
 import read_xplane  # noqa: E402
 
