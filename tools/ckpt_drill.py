@@ -1,0 +1,305 @@
+"""Full-geometry HF-checkpoint -> CLI -> waveform parity drill (VERDICT r3 #2).
+
+The last untested seam before the real ``cvssp/audioldm-s-full-v2`` weights
+drop in (zero-egress image today): checkpoint-directory -> ``ckpt/hf_bridge``
+-> tokenizer -> ``cli generate`` -> waveform, at audioldm-s geometry. The
+module-level oracles (tests/test_torch_oracle.py) pin every stage's numerics
+and the tiny-geometry tests pin the CLI plumbing; this drill runs the WHOLE
+chain end to end at full size:
+
+1. Initializes RAW-TORCH models — the re-derived TUNet/TVAE oracle modules
+   (tests/test_torch_oracle.py) plus installed-transformers CLAP text +
+   SpeechT5HifiGan — and writes their native state dicts into the exact
+   subfolder/safetensors layout of ``cvssp/audioldm-s-full-v2``
+   (unet/ vae/ text_encoder/ vocoder/ scheduler/ tokenizer/; reference load
+   sites: script/train/train_audioldm_lora.py:364-371, README.md:107).
+2. Runs ``python -m audioldm_tpu.cli generate --checkpoint <dir>`` — the real
+   user surface — as a subprocess.
+3. Re-runs the SAME trajectory in raw torch (text encode -> CFG DDIM loop ->
+   VAE decode -> HiFi-GAN), seeded with the CLI's exact init-latent draw
+   (``fold_in(PRNGKey(seed), 0)`` — generate_mel's per-row key scheme).
+4. Asserts waveform parity (CLI output is int16 PCM; comparison happens
+   after identical clip+quantize on the torch side).
+
+Tolerance rationale (measured, quarter tier): with IDENTICAL inputs every
+stage matches torch to ~5e-6 (text 1.2e-7, eps 4.6e-6, mel 5.6e-6, vocoder
+1.7e-7 — the module oracles' regime), but end-to-end the per-step eps drift
+is amplified by the DDIM update and the random-init VAE-decoder/vocoder
+gain product to ~3e-3 peak on a 0.15-amplitude waveform (mean 4.3e-4,
+corr 0.9996). Torch-vs-torch conv-algorithm drift (mkldnn on/off) is only
+3e-5 — the gap is trajectory amplification of fp32 accumulation-order
+noise, not a numerics bug. Gates: max|diff| <= atol, mean|diff| <= atol/3,
+corr >= 0.999, and a hard anti-vacuity check (the waveform must survive
+int16 quantization — see _calibrate_vocoder_gain).
+
+Geometry tiers:
+  --width full     the real audioldm-s config (block_out_channels 128-640,
+                   VAE 128-512, 1024x64 mel, 256x16x8 latents). ~10-25 min
+                   on the 1-core CPU box; run it once per round.
+  --width quarter  same block graph / latent geometry / head counts at 1/4
+                   channel width (tests/test_torch_oracle.py FULLGEOM tier).
+                   A few minutes; exercised by tests/test_ckpt_drill.py.
+
+The text encoder keeps the real depth/width (12x768, proj 512) but a 512-row
+vocab so the repo's test byte-BPE tokenizer files cover it — the vocab row
+count is the one knob that differs from the stock checkpoint, and it touches
+no shape seam downstream of the pooled 512-d projection.
+
+Exit 0 on parity (prints a JSON line with max|diff|), nonzero otherwise.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
+
+import numpy as np
+
+
+def _calibrate_vocoder_gain(t_voc, target: float = 0.3, seed: int = 0) -> None:
+    """Random-init HiFi-GAN emits ~1e-4-amplitude waveforms; the CLI's int16
+    quantization then zeroes EVERY sample and "waveform parity" becomes
+    vacuous (diff==0 between two silences — exactly the failure this drill
+    exists to catch). Scale conv_post (the last layer, pre-tanh) so a
+    unit-normal mel probe lands at ~``target`` amplitude post-tanh; main()
+    additionally hard-fails if the CLI waveform comes back quantized-silent."""
+    import math
+
+    import torch
+
+    with torch.no_grad():
+        g = torch.Generator().manual_seed(seed)
+        probe = torch.randn(1, 64, t_voc.config.model_in_dim, generator=g)
+        m = float(t_voc(probe).abs().max())
+        # post-tanh max m -> pre-tanh max atanh(m); conv_post is linear
+        scale = math.atanh(target) / max(math.atanh(min(m, 0.999)), 1e-12)
+        t_voc.conv_post.weight.mul_(scale)
+        t_voc.conv_post.bias.mul_(scale)
+
+
+def build_checkpoint(out_dir: str, width: str, seed: int = 0) -> dict:
+    """Write the HF-layout checkpoint from freshly-initialized torch models.
+    Returns the config bundle used (for the torch-side replay)."""
+    import torch
+    from safetensors.numpy import save_file
+    from transformers import ClapTextConfig as HFClapTextConfig
+    from transformers import ClapTextModelWithProjection, SpeechT5HifiGan, SpeechT5HifiGanConfig
+
+    from audioldm_tpu.config import ClapTextConfig, DDIMConfig, UNetConfig, VAEConfig, VocoderConfig
+    from test_cli import _write_tokenizer_files
+    from test_torch_oracle import FULLGEOM_UNET, FULLGEOM_VAE, TUNet, TVAE, to_numpy_sd
+
+    if width == "full":
+        unet_cfg, vae_cfg = UNetConfig(), VAEConfig()
+    else:
+        unet_cfg, vae_cfg = FULLGEOM_UNET, FULLGEOM_VAE
+    text_cfg = ClapTextConfig(vocab_size=512)  # real 12x768/proj-512 tower
+    voc_cfg = VocoderConfig() if width == "full" else VocoderConfig(
+        upsample_initial_channel=256
+    )
+    ddim_cfg = DDIMConfig()
+
+    torch.manual_seed(seed)
+    t_unet = TUNet(unet_cfg).eval()
+    t_vae = TVAE(vae_cfg).eval()
+    t_text = ClapTextModelWithProjection(
+        HFClapTextConfig(**dataclasses.asdict(text_cfg))
+    ).eval()
+    voc_kw = {k: (list(map(list, v)) if k == "resblock_dilation_sizes"
+                  else list(v) if isinstance(v, tuple) else v)
+              for k, v in dataclasses.asdict(voc_cfg).items()}
+    t_voc = SpeechT5HifiGan(SpeechT5HifiGanConfig(**voc_kw)).eval()
+    _calibrate_vocoder_gain(t_voc, seed=seed)
+
+    def _save(sub, model, cfg, weights_name, class_name):
+        folder = os.path.join(out_dir, sub)
+        os.makedirs(folder, exist_ok=True)
+        sd = {k: np.ascontiguousarray(v) for k, v in to_numpy_sd(model).items()}
+        save_file(sd, os.path.join(folder, weights_name))
+        with open(os.path.join(folder, "config.json"), "w") as f:
+            json.dump({"_class_name": class_name, **dataclasses.asdict(cfg)}, f, indent=2)
+
+    _save("unet", t_unet, unet_cfg, "diffusion_pytorch_model.safetensors", "UNet2DConditionModel")
+    _save("vae", t_vae, vae_cfg, "diffusion_pytorch_model.safetensors", "AutoencoderKL")
+    _save("text_encoder", t_text, text_cfg, "model.safetensors", "ClapTextModelWithProjection")
+    _save("vocoder", t_voc, voc_cfg, "model.safetensors", "SpeechT5HifiGan")
+    sched = os.path.join(out_dir, "scheduler")
+    os.makedirs(sched, exist_ok=True)
+    with open(os.path.join(sched, "scheduler_config.json"), "w") as f:
+        json.dump({"_class_name": "DDIMScheduler", **dataclasses.asdict(ddim_cfg)}, f, indent=2)
+    os.makedirs(os.path.join(out_dir, "tokenizer"), exist_ok=True)
+    _write_tokenizer_files(os.path.join(out_dir, "tokenizer"))
+
+    return {"unet": unet_cfg, "vae": vae_cfg, "text": text_cfg, "voc": voc_cfg,
+            "ddim": ddim_cfg,
+            "models": {"unet": t_unet, "vae": t_vae, "text": t_text, "voc": t_voc}}
+
+
+def torch_trajectory(bundle, prompt: str, negative_prompt: str, steps: int,
+                     seconds: float, guidance: float, lat0_nhwc: np.ndarray,
+                     ckpt_dir: str) -> np.ndarray:
+    """The reference pipeline, re-run in raw torch from the CLI's init
+    latents: CLAP text encode (+normalize) -> CFG-folded DDIM loop on the
+    oracle UNet -> VAE decode -> HiFi-GAN. Mirrors generate_mel stage for
+    stage (pipeline/generate.py) and the oracle trajectory test
+    (tests/test_torch_oracle.py::test_full_pipeline_trajectory_parity)."""
+    import torch
+    import torch.nn.functional as F
+
+    from audioldm_tpu.data.tokenizer import load_tokenizer
+    from audioldm_tpu.models.scheduler import inference_timesteps, make_schedule
+    from test_torch_oracle import torch_ddim_step
+
+    cfgs = bundle
+    t_unet, t_vae = cfgs["models"]["unet"], cfgs["models"]["vae"]
+    t_text, t_voc = cfgs["models"]["text"], cfgs["models"]["voc"]
+
+    tok = load_tokenizer(os.path.join(ckpt_dir, "tokenizer"))
+    enc = tok([prompt])
+    unc = tok([negative_prompt])
+
+    schedule = make_schedule(cfgs["ddim"])
+    acp = torch.from_numpy(np.asarray(schedule.alphas_cumprod)).double()
+    ts = inference_timesteps(cfgs["ddim"], steps)
+    prev = ts - (cfgs["ddim"].num_train_timesteps // steps)
+
+    with torch.no_grad():
+        cond = t_text(input_ids=torch.from_numpy(np.asarray(enc["input_ids"], np.int64)),
+                      attention_mask=torch.from_numpy(np.asarray(enc["attention_mask"], np.int64))).text_embeds
+        cond = F.normalize(cond, dim=-1)
+        uncond = t_text(input_ids=torch.from_numpy(np.asarray(unc["input_ids"], np.int64)),
+                        attention_mask=torch.from_numpy(np.asarray(unc["attention_mask"], np.int64))).text_embeds
+        uncond = F.normalize(uncond, dim=-1)
+        embeds = torch.cat([uncond, cond], dim=0)
+
+        lat = torch.from_numpy(lat0_nhwc.transpose(0, 3, 1, 2)).contiguous()
+        for t_i, p_i in zip(ts, prev):
+            model_in = torch.cat([lat, lat], dim=0)
+            tt = torch.full((2,), int(t_i), dtype=torch.long)
+            eps = t_unet(model_in, tt, embeds)
+            eps_u, eps_c = eps[:1], eps[1:]
+            eps = eps_u + guidance * (eps_c - eps_u)
+            lat = torch_ddim_step(acp, acp[0], eps.double(), int(t_i), int(p_i), lat.double()).float()
+        mel = t_vae.decode(lat / cfgs["vae"].scaling_factor)  # [B,1,T,F]
+        wav = t_voc(mel[:, 0]).numpy()
+    return wav[0, : int(seconds * cfgs["voc"].sampling_rate)]
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__.split("\n", 1)[0])
+    ap.add_argument("--width", choices=["full", "quarter"], default="full")
+    ap.add_argument("--steps", type=int, default=2)
+    ap.add_argument("--seconds", type=float, default=10.24)
+    ap.add_argument("--guidance", type=float, default=2.5)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--prompt", default="hip hop beat with heavy bass")
+    ap.add_argument("--out", default=None, help="checkpoint dir (default: temp)")
+    ap.add_argument("--platform", choices=["cpu", "tpu"], default="cpu",
+                    help="backend for the CLI subprocess; cpu = exact-f32 "
+                         "parity, tpu = the real serving path (looser atol)")
+    ap.add_argument("--atol", type=float, default=None,
+                    help="waveform max-abs atol (default: 1e-2 cpu, 5e-2 tpu; "
+                         "see module docstring for the amplification math)")
+    args = ap.parse_args()
+    atol = args.atol if args.atol is not None else (1e-2 if args.platform == "cpu" else 5e-2)
+
+    # the drill's own jax work (latent draw) stays on CPU regardless of
+    # where the CLI subprocess runs
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    out_dir = args.out or tempfile.mkdtemp(prefix="ckpt_drill_")
+    t0 = time.time()
+    print(f"# building {args.width}-width checkpoint at {out_dir}", file=sys.stderr)
+    bundle = build_checkpoint(out_dir, args.width, seed=args.seed)
+    print(f"# checkpoint built in {time.time() - t0:.1f}s", file=sys.stderr)
+
+    # the CLI's init-latent draw (generate_mel per-row keys: row 0 of a
+    # seed-S call draws from fold_in(PRNGKey(S), 0))
+    from audioldm_tpu.pipeline.generate import latent_shape
+
+    class _Shim:
+        vae_cfg = bundle["vae"]
+        vocoder_cfg = bundle["voc"]
+
+    shape = latent_shape(_Shim(), 1, args.seconds)
+    key = jax.random.fold_in(jax.random.PRNGKey(args.seed), 0)
+    lat0 = np.asarray(jax.random.normal(key, shape[1:], "float32"))[None]
+
+    # 1) the real user surface: cli generate as a subprocess
+    wav_path = os.path.join(out_dir, "drill.wav")
+    env = dict(os.environ)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    if args.platform == "cpu":
+        env["JAX_PLATFORMS"] = "cpu"
+    cmd = [sys.executable, "-m", "audioldm_tpu.cli", "generate",
+           "--checkpoint", out_dir, "--prompt", args.prompt,
+           "--steps", str(args.steps), "--seconds", str(args.seconds),
+           "--guidance", str(args.guidance), "--seed", str(args.seed),
+           "--output", wav_path, "--fp32"]
+    print(f"# running: {' '.join(cmd)}", file=sys.stderr)
+    t0 = time.time()
+    proc = subprocess.run(cmd, env=env, capture_output=True, text=True)
+    if proc.returncode != 0:
+        print(proc.stdout, file=sys.stderr)
+        print(proc.stderr, file=sys.stderr)
+        raise SystemExit(f"cli generate failed (exit {proc.returncode})")
+    cli_s = time.time() - t0
+    print(f"# cli generate: {cli_s:.1f}s", file=sys.stderr)
+
+    from audioldm_tpu.data.wavio import read_wav
+
+    wav_cli, sr = read_wav(wav_path)
+    wav_cli = np.asarray(wav_cli, np.float32)
+    nonzero_frac = float((wav_cli != 0).mean())
+    if np.abs(wav_cli).max() < 0.01 or nonzero_frac < 0.10:
+        raise SystemExit(
+            f"VACUOUS: CLI waveform is (near-)silent after int16 quantization "
+            f"(max|w|={np.abs(wav_cli).max():.2e}, nonzero={nonzero_frac:.1%}) — "
+            f"parity on silence proves nothing; vocoder gain calibration failed"
+        )
+
+    # 2) raw-torch replay from the same latents, quantized identically
+    t0 = time.time()
+    wav_torch = torch_trajectory(bundle, args.prompt, "", args.steps,
+                                 args.seconds, args.guidance, lat0, out_dir)
+    print(f"# torch trajectory: {time.time() - t0:.1f}s", file=sys.stderr)
+    pcm = np.round(np.clip(wav_torch, -1.0, 1.0) * 32767.0) / 32767.0
+
+    n = min(len(wav_cli), len(pcm))
+    diff = np.abs(wav_cli[:n] - pcm[:n])
+    corr = float(np.corrcoef(wav_cli[:n], pcm[:n])[0, 1])
+    result = {
+        "drill": f"{args.width}@{args.steps}steps/{args.seconds}s",
+        "platform": args.platform,
+        "samples": int(n),
+        "max_abs_diff": float(diff.max()),
+        "mean_abs_diff": float(diff.mean()),
+        "corr": corr,
+        "cli_max_abs": float(np.abs(wav_cli).max()),
+        "cli_nonzero_frac": round(nonzero_frac, 4),
+        "atol": atol,
+        "pass": bool(diff.max() <= atol and diff.mean() <= atol / 3 and corr >= 0.999),
+        "cli_s": round(cli_s, 1),
+    }
+    print(json.dumps(result))
+    if not result["pass"]:
+        raise SystemExit(
+            f"PARITY FAIL: max|diff|={diff.max():.6f} (atol {atol}), "
+            f"mean|diff|={diff.mean():.6f} (gate {atol / 3:.1e}), corr={corr:.5f} (gate 0.999)"
+        )
+
+
+if __name__ == "__main__":
+    main()
