@@ -810,7 +810,30 @@ def cmd_slice(args):
     print(f"wrote {total} segments to {args.output}")
 
 
+def _honor_jax_platforms_env():
+    """Make ``JAX_PLATFORMS=cpu python -m audioldm_tpu.cli ...`` actually run
+    on CPU. Some preloaded remote-TPU backends (sitecustomize register())
+    call ``jax.config.update("jax_platforms", ...)`` at interpreter start,
+    which silently OVERRIDES the env var for every subprocess — observed:
+    a subprocess with env JAX_PLATFORMS=cpu still ran on the tunnel TPU
+    (ckpt-drill round 4). Re-assert the user's env choice before any
+    jax.devices() call.
+
+    Deliberately narrowed to the force-CPU contract (env primary == cpu):
+    this image exports JAX_PLATFORMS=axon globally, so honoring arbitrary
+    env values would undo an in-process ``jax.config.update("jax_platforms",
+    "cpu")`` (the tests' conftest) whenever cli.main() is called in-process."""
+    want = os.environ.get("JAX_PLATFORMS", "")
+    if not want or want.split(",")[0] != "cpu":
+        return
+    import jax
+
+    if str(jax.config.jax_platforms or "").split(",")[0] != "cpu":
+        jax.config.update("jax_platforms", want)
+
+
 def main(argv=None):
+    _honor_jax_platforms_env()
     parser = argparse.ArgumentParser(prog="audioldm_tpu", description=__doc__)
     sub = parser.add_subparsers(dest="command", required=True)
     for add in (_add_generate, _add_train, _add_distill, _add_serve, _add_score, _add_export, _add_push, _add_slice):

@@ -175,6 +175,13 @@ def _flash_bh(
     caller's slice discards."""
     bh, n, d = q2.shape
     m = k.shape[1]
+    if q2.dtype == jnp.float32:
+        # fp32 k/v/S tiles are 2x the bf16 footprint: block_k 4096 exceeds
+        # the 16 MB scoped-VMEM limit at the full-geometry level-0 shape
+        # ([16, 4096, 128] -> compile-time "Ran out of memory in vmem",
+        # hit by `cli generate --fp32` on chip). 2048 fits with margin and
+        # measured within 3% of 4096 in the bf16 block sweep.
+        block_k = min(block_k, 2048)
     block_q = block_q if n >= block_q else -(-n // 8) * 8
     block_k = block_k if m >= block_k else -(-m // 8) * 8
     n_pad = -(-n // block_q) * block_q

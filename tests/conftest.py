@@ -17,6 +17,11 @@ if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("TF_ENABLE_ONEDNN_OPTS", "0")
 
+# keep env and config in agreement: anything in-process that re-checks the
+# env (cli._honor_jax_platforms_env) or any subprocess a test spawns must
+# also land on CPU
+os.environ["JAX_PLATFORMS"] = "cpu"
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")

@@ -21,14 +21,16 @@ chain end to end at full size:
 4. Asserts waveform parity (CLI output is int16 PCM; comparison happens
    after identical clip+quantize on the torch side).
 
-Tolerance rationale (measured, quarter tier): with IDENTICAL inputs every
-stage matches torch to ~5e-6 (text 1.2e-7, eps 4.6e-6, mel 5.6e-6, vocoder
-1.7e-7 — the module oracles' regime), but end-to-end the per-step eps drift
-is amplified by the DDIM update and the random-init VAE-decoder/vocoder
-gain product to ~3e-3 peak on a 0.15-amplitude waveform (mean 4.3e-4,
-corr 0.9996). Torch-vs-torch conv-algorithm drift (mkldnn on/off) is only
-3e-5 — the gap is trajectory amplification of fp32 accumulation-order
-noise, not a numerics bug. Gates: max|diff| <= atol, mean|diff| <= atol/3,
+Tolerance rationale (measured): with IDENTICAL inputs every stage matches
+torch to ~5e-6 (text 1.2e-7, eps 4.6e-6, mel 5.6e-6, vocoder 1.7e-7 — the
+module oracles' regime). End-to-end on TRUE CPU the waveform agrees to
+3.2e-5 peak / corr 0.9999999976 at BOTH quarter and full geometry. On the
+TPU backend the same drill lands at ~3e-3 peak / corr 0.9996 — that is the
+default-precision MXU (f32 matmuls ride bf16 passes) being amplified by the
+DDIM trajectory and the random-init VAE-decoder/vocoder gain product, the
+same ~3e-3 we measure between fp32 flash and fp32 XLA attention on chip.
+Torch-vs-torch conv-algorithm drift (mkldnn on/off) is 3e-5. Gates:
+max|diff| <= atol (1e-3 cpu / 2e-2 tpu), mean|diff| <= atol/3,
 corr >= 0.999, and a hard anti-vacuity check (the waveform must survive
 int16 quantization — see _calibrate_vocoder_gain).
 
@@ -207,10 +209,10 @@ def main():
                     help="backend for the CLI subprocess; cpu = exact-f32 "
                          "parity, tpu = the real serving path (looser atol)")
     ap.add_argument("--atol", type=float, default=None,
-                    help="waveform max-abs atol (default: 1e-2 cpu, 5e-2 tpu; "
-                         "see module docstring for the amplification math)")
+                    help="waveform max-abs atol (default: 1e-3 cpu, 2e-2 tpu; "
+                         "see module docstring for the measured margins)")
     args = ap.parse_args()
-    atol = args.atol if args.atol is not None else (1e-2 if args.platform == "cpu" else 5e-2)
+    atol = args.atol if args.atol is not None else (1e-3 if args.platform == "cpu" else 2e-2)
 
     # the drill's own jax work (latent draw) stays on CPU regardless of
     # where the CLI subprocess runs
