@@ -612,5 +612,12 @@ def make_generate_fn(
         aot[:] = [(tuple((x.shape, jnp.asarray(x).dtype) for x in args), c_mel, c_voc)]
         return {"mel_compile_s": mel_s, "voc_compile_s": voc_s}
 
+    def stage_fns():
+        """After ``precompile``: the two AOT stage executables
+        ``(c_mel, c_voc)`` — lets callers time/warm the stages separately
+        (bench.py first-execution receipts). None before precompile."""
+        return (aot[0][1], aot[0][2]) if aot else None
+
     fn.precompile = precompile
+    fn.stage_fns = stage_fns
     return fn

@@ -145,8 +145,42 @@ def main():
     print(f"# init: {init_s:.1f}s (overlapped with stage compiles)", file=sys.stderr)
     for k, v in stages.items():
         print(f"# {k}: {v:.1f}s (overlapped)", file=sys.stderr)
-    run(0)
+    # first-execution receipt: run-1 receipts showed the stage compiles are
+    # NOT the cold-start bottleneck (47+25 s overlapped) — the bulk of the
+    # 287 s window was the FIRST EXECUTION of the compiled programs on the
+    # tunnel backend. Track it separately, split per stage, so the variance
+    # has an address (mel-exec vs voc-exec).
+    t_first = time.perf_counter()
+    first_mel_s = first_voc_s = None
+    st = fn.stage_fns() if hasattr(fn, "stage_fns") else None
+    if st is not None:
+        c_mel, c_voc = st
+        if os.environ.get("AUDIOLDM_BENCH_EXECSIZE") == "1":
+            # serialized-executable sizes: tests the hypothesis that the
+            # first-execution cost is the executable shipping up the tunnel
+            # (~0.3-0.4 MB/s measured for persistent-cache uploads)
+            try:
+                from jax.experimental.serialize_executable import serialize
+                for name, c in (("mel", c_mel), ("voc", c_voc)):
+                    payload = serialize(c)[0]
+                    print(f"# {name} serialized executable: "
+                          f"{len(payload) / 1e6:.1f} MB", file=sys.stderr)
+            except Exception as e:  # noqa: BLE001 — receipt only
+                print(f"# execsize probe failed: {e}", file=sys.stderr)
+        t0 = time.perf_counter()
+        mel = c_mel(modules, ids, mask, u_ids, u_mask, jax.random.PRNGKey(0))
+        jax.device_get(mel[0, :1, 0, 0])
+        first_mel_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        jax.device_get(c_voc(modules, mel)[0, :8])
+        first_voc_s = time.perf_counter() - t0
+        print(f"# first mel exec: {first_mel_s:.1f}s, first voc exec: {first_voc_s:.1f}s",
+              file=sys.stderr)
+    else:
+        run(0)
+    first_run_s = time.perf_counter() - t_first
     compile_s = time.perf_counter() - t_all
+    print(f"# first run: {first_run_s:.1f}s", file=sys.stderr)
     print(f"# compile+warmup: {compile_s:.1f}s", file=sys.stderr)
     run(1)
 
@@ -221,6 +255,9 @@ def main():
                 # per-stage compile receipts (threads overlap; VERDICT r3 #1)
                 "mel_compile_s": round(stages["mel_compile_s"], 1) if stages else None,
                 "voc_compile_s": round(stages["voc_compile_s"], 1) if stages else None,
+                "first_run_s": round(first_run_s, 1),
+                "first_mel_exec_s": None if first_mel_s is None else round(first_mel_s, 1),
+                "first_voc_exec_s": None if first_voc_s is None else round(first_voc_s, 1),
                 # few-step samplers (NOT the headline; 50-step DDIM is)
                 "ddim50_s": round(dt, 4),
                 **secondary,

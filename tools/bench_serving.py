@@ -134,7 +134,7 @@ def main():
         print(f"serve batch=4 {tag}: {dt:.3f} s/batch = {dt/4:.3f} s/clip ({4/dt:.2f} clips/s)", flush=True)
 
 
-if __name__ == "__main__" and not any(f in sys.argv for f in ("--sweep", "--hybrid", "--flush", "--lcm")):
+if __name__ == "__main__" and not any(f in sys.argv for f in ("--sweep", "--hybrid", "--flush", "--lcm", "--knee")):
     main()
 
 
@@ -164,6 +164,77 @@ def batch_sweep():
 
 if __name__ == "__main__" and "--sweep" in sys.argv:
     batch_sweep()
+    sys.exit(0)
+
+
+_FENCE_WARM = []
+
+
+def _chip_healthy(budget_s: float = 8.0) -> bool:
+    """Tiny matmul fence: a sick worker (post-OOM) hangs or runs 10-20x
+    slow (NOTES.md environment gotchas) — abort the sweep rather than
+    record garbage. The FIRST fence in a process pays client registration
+    + a tunnel compile (measured 4-73 s healthy!), so it runs untimed;
+    only the cached re-execution (~0.03 s healthy) is held to the budget."""
+    x = jnp.ones((512, 512), jnp.bfloat16)
+    if not _FENCE_WARM:
+        jax.device_get((x @ x)[0, :1])
+        _FENCE_WARM.append(True)
+    t0 = time.perf_counter()
+    jax.device_get((x @ x)[0, :1])
+    dt = time.perf_counter() - t0
+    if dt > budget_s:
+        print(f"# CHIP UNHEALTHY: cached 512^2 matmul fence took {dt:.1f}s — stop", flush=True)
+        return False
+    return True
+
+
+def throughput_knee():
+    """VERDICT round-3 #5: find the max-throughput batch size SAFELY.
+
+    The b=1..8 sweep is flat at ~0.77-0.8 s/clip, so clips/s/chip grows
+    ~linearly with batch until HBM pressure; a naive b=32 probe crashed the
+    worker (NOTES.md). This sweep steps b=8,12,16,20,24 with a chip health
+    check between sizes, treats an allocation failure as the ceiling, and
+    reports clips/s + pipeline MFU at each point. Plain base traffic (no
+    adapters): the merged/uniform route all production batches ride."""
+    from audioldm_tpu.utils import flops as fl
+
+    use_flash_attention(True)
+    use_fused_mrf(True)
+    modules = full_modules()
+    gen = dict(num_inference_steps=50, audio_length_in_s=10.24, guidance_scale=2.5)
+    per_clip = fl.pipeline_flops(steps=50)["total"].useful
+    best = None
+    for b in (8, 12, 16, 20, 24):
+        if not _chip_healthy():
+            break
+        eng = ServeEngine(modules, Tok(), LoRAConfig(), bucket_sizes=(b,))
+        prompts = ["hip hop beat"] * b
+        try:
+            eng.generate(prompts, seed=0, **gen)  # compile
+            eng.generate(prompts, seed=1, **gen)
+            t0 = time.perf_counter()
+            for i in range(3):
+                eng.generate(prompts, seed=2 + i, **gen)
+            dt = (time.perf_counter() - t0) / 3
+        except Exception as e:  # noqa: BLE001 — OOM/alloc failure = ceiling
+            print(f"serve batch={b}: FAILED ({type(e).__name__}: {str(e)[:120]})", flush=True)
+            break
+        cps = b / dt
+        mfu = fl.mfu(b * per_clip, dt)
+        print(f"serve batch={b}: {dt:.3f} s/batch = {dt/b:.3f} s/clip "
+              f"({cps:.2f} clips/s, mfu {mfu:.3f})", flush=True)
+        if best is None or cps > best[1]:
+            best = (b, cps, dt / b, mfu)
+        del eng
+    if best:
+        print(f"KNEE: batch={best[0]} -> {best[1]:.2f} clips/s/chip "
+              f"({best[2]:.3f} s/clip, mfu {best[3]:.3f})", flush=True)
+
+
+if __name__ == "__main__" and "--knee" in sys.argv:
+    throughput_knee()
     sys.exit(0)
 
 
