@@ -1,0 +1,160 @@
+"""End-to-end wandb tracker tests against a faithful in-process fake.
+
+The reference registers wandb as its accelerate tracker (entity/group/tags,
+reference script/train/train_audioldm_lora.py:333-344) and logs step-keyed
+scalars (:570,583-591) plus validation audio clips and mel PNGs (:176-198).
+wandb itself is not installed in this image (zero egress), so
+test_logging.py pins the graceful-degrade path; THIS module pins the wandb
+branch's actual behavior by injecting a fake `wandb` module into sys.modules
+that records every call — init kwargs, each run.log payload with its step,
+Audio/Image media objects, finish() — and drives it through the real
+MetricLogger facade and a real Trainer.fit loop, so the code path a real
+wandb install would take is executed end-to-end, not just import-guarded.
+"""
+
+import sys
+import types
+
+import jax
+import numpy as np
+import pytest
+
+from audioldm_tpu.utils.logging import MetricLogger
+
+pytestmark = pytest.mark.quick
+
+
+class _FakeAudio:
+    def __init__(self, data, sample_rate=None, caption=None):
+        self.data = np.asarray(data)
+        self.sample_rate = sample_rate
+        self.caption = caption
+
+
+class _FakeImage:
+    def __init__(self, data, caption=None):
+        self.data = np.asarray(data)
+        self.caption = caption
+
+
+class _FakeRun:
+    def __init__(self, init_kwargs):
+        self.init_kwargs = init_kwargs
+        self.records = []  # [(payload dict, step)]
+        self.finished = False
+
+    def log(self, data, step=None):
+        if self.finished:
+            raise RuntimeError("log() after finish()")
+        self.records.append((dict(data), step))
+
+    def finish(self):
+        self.finished = True
+
+    def scalars(self, key):
+        return [(s, p[key]) for p, s in self.records if key in p]
+
+
+def _install_fake_wandb(monkeypatch):
+    mod = types.ModuleType("wandb")
+    runs = []
+
+    def init(**kwargs):
+        run = _FakeRun(kwargs)
+        runs.append(run)
+        return run
+
+    mod.init = init
+    mod.Audio = _FakeAudio
+    mod.Image = _FakeImage
+    mod._runs = runs
+    monkeypatch.setitem(sys.modules, "wandb", mod)
+    return mod
+
+
+def test_wandb_branch_full_surface(tmp_path, monkeypatch):
+    """init kwargs (project/name + the reference's entity/group/tags config),
+    step-keyed scalar logs, Audio with sample_rate, Image decoded to HWC,
+    finish() on close — the exact calls a real wandb run would receive."""
+    mod = _install_fake_wandb(monkeypatch)
+    cfg = {"entity": "rofla", "group": "tpu-exp-group-1", "tags": ["lora", "tpu"]}
+    logger = MetricLogger(str(tmp_path), project="audioldm-tpu",
+                          wandb_config=cfg, use_wandb=True, run_name="run-0")
+    (run,) = mod._runs
+    assert logger._wandb is run
+    assert run.init_kwargs["project"] == "audioldm-tpu"
+    assert run.init_kwargs["name"] == "run-0"
+    assert run.init_kwargs["entity"] == "rofla"
+    assert run.init_kwargs["group"] == "tpu-exp-group-1"
+    assert run.init_kwargs["tags"] == ["lora", "tpu"]
+
+    logger.log({"train_loss": 0.5, "lr": 1e-4}, step=1)
+    logger.log({"train_loss": 0.25, "lr": 9e-5}, step=2)
+    assert run.scalars("train_loss") == [(1, 0.5), (2, 0.25)]
+    assert run.scalars("lr") == [(1, pytest.approx(1e-4)), (2, pytest.approx(9e-5))]
+
+    sr = 16000
+    wav = (0.5 * np.sin(2 * np.pi * 440.0 * np.arange(1600) / sr)).astype(np.float32)
+    logger.log_audio("validation/0", wav, sr, step=2)
+    ((payload, step),) = [r for r in run.records if "validation/0" in r[0]]
+    audio = payload["validation/0"]
+    assert step == 2 and isinstance(audio, _FakeAudio)
+    assert audio.sample_rate == sr
+    np.testing.assert_allclose(audio.data, wav)
+
+    pil = pytest.importorskip("PIL.Image")
+    import io
+
+    arr = np.array([[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [255, 255, 0]]], np.uint8)
+    buf = io.BytesIO()
+    pil.fromarray(arr).save(buf, format="PNG")
+    logger.log_image("validation_mel/0", buf.getvalue(), step=3)
+    ((payload, step),) = [r for r in run.records if "validation_mel/0" in r[0]]
+    image = payload["validation_mel/0"]
+    assert step == 3 and isinstance(image, _FakeImage)
+    np.testing.assert_array_equal(image.data, arr)
+
+    logger.close()
+    assert run.finished
+    # JSONL stream still written alongside the live tracker
+    assert (tmp_path / "metrics.jsonl").exists()
+
+
+def test_trainer_fit_streams_reference_keys_to_wandb(tmp_path, monkeypatch):
+    """A real Trainer.fit run with use_wandb=True must stream the reference's
+    wandb key names (train_loss/total_train_loss/lr, train:570,583-591) into
+    the live run, step-keyed and in order."""
+    from audioldm_tpu.config import DDIMConfig, LoRAConfig, TrainConfig
+    from audioldm_tpu.lora import init_lora
+    from audioldm_tpu.pipeline.generate import random_modules
+    from audioldm_tpu.train import Trainer
+    from audioldm_tpu.train.trainer import init_train_state
+    from tests.test_pipeline import TINY_TEXT, TINY_UNET, TINY_VAE, TINY_VOC
+    from tests.test_trainer import _batch
+
+    mod = _install_fake_wandb(monkeypatch)
+    modules = random_modules(
+        jax.random.PRNGKey(0),
+        unet_cfg=TINY_UNET, vae_cfg=TINY_VAE, text_cfg=TINY_TEXT,
+        vocoder_cfg=TINY_VOC, ddim_cfg=DDIMConfig(),
+    )
+    logger = MetricLogger(str(tmp_path), use_wandb=True)
+    lcfg = LoRAConfig(r=2, lora_alpha=2)
+    tcfg = TrainConfig(max_train_steps=3, checkpointing_steps=100)
+    trainer = Trainer(modules, lcfg, tcfg, str(tmp_path), logger=logger)
+    lora = init_lora(jax.random.PRNGKey(1), modules.unet, lcfg)
+    state = init_train_state(lora, trainer.optimizer)
+    batches = iter([_batch(b=2, t=8, f=8, l=6)] * 3)
+    trainer.fit(state, batches, jax.random.PRNGKey(2), max_steps=3, log_every=1)
+    logger.close()
+
+    (run,) = mod._runs
+    steps = [s for s, _ in run.scalars("train_loss")]
+    assert steps == [1, 2, 3]
+    for payload, _ in run.records:
+        assert {"train_loss", "total_train_loss", "lr", "grad_norm"} <= set(payload)
+        assert np.isfinite(payload["train_loss"])
+    # cumulative mean at step 1 equals the first loss
+    assert run.records[0][0]["total_train_loss"] == pytest.approx(
+        run.records[0][0]["train_loss"])
+    assert run.finished
