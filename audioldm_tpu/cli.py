@@ -97,6 +97,11 @@ def _add_generate(sub):
                         "clip length. Off = exact reference sampling")
     p.add_argument("--window-overlap", type=float, default=0.5,
                    help="fraction of window overlap for --window-seconds (default 0.5)")
+    p.add_argument("--guidance-interval", default=None, metavar="LO,HI",
+                   help="limited-interval CFG (Kynkäänniemi et al. 2024): apply guidance only "
+                        "on steps whose timestep falls in [LO,HI] (fractions of the train "
+                        "range, e.g. 0.05,0.65); other steps run the conditional-only UNet at "
+                        "half cost. Off = exact reference every-step CFG")
     p.add_argument("--fp32", action="store_true")
     p.add_argument("--tp", type=int, default=1,
                    help="tensor-parallel devices: shard the UNet's attention/FF over a tp mesh for multi-chip latency scaling (parallel/tp.py)")
@@ -159,6 +164,20 @@ def cmd_generate(args):
         if a2a_flags:
             verb = "requires" if len(a2a_flags) == 1 else "require"
             raise SystemExit(f"{'/'.join(a2a_flags)} {verb} --init-audio WAV (audio-to-audio)")
+
+    guidance_interval = None
+    if args.guidance_interval is not None:
+        try:
+            lo, hi = (float(x) for x in args.guidance_interval.split(","))
+        except ValueError:
+            raise SystemExit("--guidance-interval expects LO,HI fractions (e.g. 0.05,0.65)")
+        if not 0.0 <= lo <= hi <= 1.0:
+            raise SystemExit("--guidance-interval needs 0 <= LO <= HI <= 1")
+        if args.scheduler == "lcm":
+            raise SystemExit("--guidance-interval is meaningless with lcm (no CFG)")
+        if args.window_seconds is not None or args.tp > 1 or args.init_audio:
+            raise SystemExit("--guidance-interval is not combinable with --window-seconds/--tp/--init-audio")
+        guidance_interval = (lo, hi)
 
     if args.init_audio:
         if args.tp > 1 or args.best_of is not None or args.window_seconds is not None:
@@ -226,7 +245,7 @@ def cmd_generate(args):
             modules, num_inference_steps=args.steps, audio_length_in_s=args.seconds,
             guidance_scale=args.guidance, dtype=jnp.float32 if args.fp32 else jnp.bfloat16,
             scheduler=args.scheduler, window_seconds=args.window_seconds,
-            window_overlap=args.window_overlap,
+            window_overlap=args.window_overlap, guidance_interval=guidance_interval,
         )
         # AOT-compile the two stage programs in parallel threads: overlaps
         # the remote compiles, ~-20% one-shot CLI latency on TPU (PERF.md)

@@ -69,6 +69,9 @@ class GenParams:
     # pipeline/generate.py denoise docstring)
     window_seconds: Optional[float] = None
     window_overlap: float = 0.5
+    # limited-interval CFG (compile-key field; denoise docstring): (lo, hi)
+    # fractions of the train timestep range, guidance applied only inside
+    guidance_interval: Optional[tuple] = None
 
 
 @dataclass
@@ -299,6 +302,7 @@ class Microbatcher:
                     negative_prompt=p.negative_prompt,
                     window_seconds=p.window_seconds,
                     window_overlap=p.window_overlap,
+                    guidance_interval=p.guidance_interval,
                     seeds=seeds,
                 )
         except Exception as e:  # noqa: BLE001
@@ -406,6 +410,15 @@ def make_server(
                 return self._json(400, {"error": "missing 'prompt'"})
             neg = body.get("negative_prompt")
             ws = body.get("window_seconds")
+            gi = body.get("guidance_interval")
+            if gi is not None:
+                try:
+                    lo, hi = (float(x) for x in gi)
+                except (TypeError, ValueError):
+                    return self._json(400, {"error": "guidance_interval expects [lo, hi] fractions"})
+                if not 0.0 <= lo <= hi <= 1.0:
+                    return self._json(400, {"error": "guidance_interval needs 0 <= lo <= hi <= 1"})
+                gi = (lo, hi)
             params = GenParams(
                 num_inference_steps=int(body.get("steps", 50)),
                 audio_length_in_s=float(body.get("seconds", 10.0)),
@@ -414,6 +427,7 @@ def make_server(
                 negative_prompt=None if neg is None else str(neg),
                 window_seconds=None if ws is None else float(ws),
                 window_overlap=float(body.get("window_overlap", 0.5)),
+                guidance_interval=gi,
             )
             seed = body.get("seed")
             t0 = time.monotonic()

@@ -257,7 +257,8 @@ class ServeEngine:
 
     # -- compiled entry points ----------------------------------------------
     def _fn(self, key, steps: int, seconds: float, guidance: float, with_lora: bool,
-            scheduler: str = "ddim", window: Optional[tuple[float, float]] = None):
+            scheduler: str = "ddim", window: Optional[tuple[float, float]] = None,
+            guidance_interval: Optional[tuple[float, float]] = None):
         if key not in self._fns:
             # module bundle is a jit ARGUMENT (params as device buffers, configs
             # static) — the SAME compiled fn serves base weights and any
@@ -273,7 +274,7 @@ class ServeEngine:
                         mods, ids, mask, u_ids, u_mask, rng, steps, seconds, guidance,
                         lora=lora, lora_scale=self.lora_cfg.scale, dtype=self.dtype,
                         scheduler=scheduler, window_seconds=w_s, window_overlap=w_ov,
-                        latent_keys=keys,
+                        latent_keys=keys, guidance_interval=guidance_interval,
                     )
 
             else:
@@ -284,7 +285,7 @@ class ServeEngine:
                         mods, ids, mask, u_ids, u_mask, rng, steps, seconds, guidance,
                         dtype=self.dtype, scheduler=scheduler,
                         window_seconds=w_s, window_overlap=w_ov,
-                        latent_keys=keys,
+                        latent_keys=keys, guidance_interval=guidance_interval,
                     )
 
             if self.mesh is not None:
@@ -474,6 +475,7 @@ class ServeEngine:
         window_seconds: Optional[float] = None,
         window_overlap: float = 0.5,
         seeds: Optional[Sequence[Optional[int]]] = None,
+        guidance_interval: Optional[tuple[float, float]] = None,
     ) -> np.ndarray:
         """Batched generation; ``adapters[i]`` selects the LoRA for prompt i
         (None/"base" = frozen base model, a bank name, or a composed name
@@ -488,6 +490,10 @@ class ServeEngine:
         in-scan noise (ddim eta=0 — the serving default — and dpm++); lcm
         draws inter-step noise from the BATCH rng, so seeded lcm requests
         need a solo batch for reproducibility (the daemon enforces this).
+
+        ``guidance_interval`` (optional, compile-key field): limited-interval
+        CFG — see ``pipeline/generate.py`` denoise. Requests in a batch must
+        agree on it (the daemon groups by it).
 
         The batch is padded to the next configured bucket size (compile once
         per bucket, not per queue length); uniform-adapter batches route
@@ -505,7 +511,7 @@ class ServeEngine:
             jax.random.PRNGKey(seed) if rng_key is None else rng_key,
             negative_prompt=negative_prompt,
             window=None if window_seconds is None else (window_seconds, window_overlap),
-            seeds=seeds,
+            seeds=seeds, guidance_interval=guidance_interval,
         )
         return self._assemble(parts, len(prompts))
 
@@ -533,6 +539,7 @@ class ServeEngine:
         negative_prompt: Optional[str] = None,
         window: Optional[tuple[float, float]] = None,
         seeds: Optional[Sequence[Optional[int]]] = None,
+        guidance_interval: Optional[tuple[float, float]] = None,
     ) -> list:
         """Dispatch the batch WITHOUT fetching: returns a list of
         (device_array, row_indices) pairs whose union covers the batch.
@@ -575,7 +582,7 @@ class ServeEngine:
                     None if adapters is None else list(adapters[i : i + max_bucket]),
                     num_inference_steps, audio_length_in_s, guidance_scale,
                     scheduler, jax.random.fold_in(rng, i), negative_prompt=neg,
-                    window=window,
+                    window=window, guidance_interval=guidance_interval,
                     seeds=None if seeds is None else list(seeds[i : i + max_bucket]),
                 )
                 parts.extend((arr, [i + r for r in rows]) for arr, rows in sub)
@@ -611,7 +618,7 @@ class ServeEngine:
                     [prompts[i] for i in rows], [name] * len(rows),
                     num_inference_steps, audio_length_in_s, guidance_scale,
                     scheduler, jax.random.fold_in(rng, g), negative_prompt=neg,
-                    window=window,
+                    window=window, guidance_interval=guidance_interval,
                     seeds=None if seeds is None else [seeds[i] for i in rows],
                 )
                 parts.extend((arr, [rows[r] for r in sub_rows]) for arr, sub_rows in sub)
@@ -639,9 +646,9 @@ class ServeEngine:
             # base traffic AND uniform-adapter traffic share ONE compiled fn:
             # the merged bundle is just a different pytree argument
             mods = self.merged_modules(names[0]) if uniform else self.modules
-            fn = self._fn(("plain", bucket, num_inference_steps, audio_length_in_s, guidance_scale, scheduler, window),
+            fn = self._fn(("plain", bucket, num_inference_steps, audio_length_in_s, guidance_scale, scheduler, window, guidance_interval),
                           num_inference_steps, audio_length_in_s, guidance_scale, with_lora=False,
-                          scheduler=scheduler, window=window)
+                          scheduler=scheduler, window=window, guidance_interval=guidance_interval)
             return [(fn(mods, ids, mask, u_ids, u_mask, rng, keys), rows)]
 
         # rank-r gathered path (mixed batch under a dp mesh)
@@ -666,9 +673,9 @@ class ServeEngine:
             )
         else:
             lora = self.bank.gather(idx, cfg_batch=2 if do_cfg else 1)
-        fn = self._fn(("lora", bucket, num_inference_steps, audio_length_in_s, guidance_scale, scheduler, window),
+        fn = self._fn(("lora", bucket, num_inference_steps, audio_length_in_s, guidance_scale, scheduler, window, guidance_interval),
                       num_inference_steps, audio_length_in_s, guidance_scale, with_lora=True,
-                      scheduler=scheduler, window=window)
+                      scheduler=scheduler, window=window, guidance_interval=guidance_interval)
         return [(fn(self.modules, ids, mask, u_ids, u_mask, rng, keys, lora), rows)]
 
     def submit(self, prompt: str, adapter: Optional[str] = None) -> int:

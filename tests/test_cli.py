@@ -388,3 +388,29 @@ def test_cli_serve(tiny_checkpoint, tmp_path):
     assert wavs == ["000000.wav", "000001.wav", "000002.wav"]
     w0, sr = read_wav(os.path.join(out, "000000.wav"))
     assert sr == 16000 and len(w0) == 160 and np.any(w0 != 0)
+
+
+def test_cli_generate_guidance_interval(tiny_checkpoint, tmp_path):
+    """--guidance-interval generates end to end; malformed/incompatible
+    values fail fast with a clean message (limited-interval CFG,
+    pipeline/generate.py denoise)."""
+    out = str(tmp_path / "gi.wav")
+    cli.main([
+        "generate", "--checkpoint", tiny_checkpoint, "--prompt", "hip hop music",
+        "--steps", "2", "--seconds", "0.01", "--output", out, "--fp32",
+        "--guidance-interval", "0.0,0.3",
+    ])
+    wav, sr = read_wav(out)
+    assert sr == 16000 and len(wav) == 160 and np.any(wav != 0)
+
+    base = ["generate", "--checkpoint", tiny_checkpoint, "--prompt", "x",
+            "--steps", "2", "--seconds", "0.01", "--fp32",
+            "--output", str(tmp_path / "o.wav")]
+    with pytest.raises(SystemExit, match="LO,HI"):
+        cli.main(base + ["--guidance-interval", "0.1"])
+    with pytest.raises(SystemExit, match="0 <= LO <= HI <= 1"):
+        cli.main(base + ["--guidance-interval", "0.7,0.2"])
+    with pytest.raises(SystemExit, match="lcm"):
+        cli.main(base + ["--guidance-interval", "0.1,0.5", "--scheduler", "lcm"])
+    with pytest.raises(SystemExit, match="not combinable"):
+        cli.main(base + ["--guidance-interval", "0.1,0.5", "--window-seconds", "0.005"])

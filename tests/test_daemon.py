@@ -462,3 +462,30 @@ def test_lru_eviction_at_max_adapters():
             mb.load_adapter("rock", mk(5), lcfg.r)
     finally:
         mb.close()
+
+
+def test_http_guidance_interval(server, engine):
+    """guidance_interval rides the HTTP body as [lo, hi]; malformed values
+    are a clean 400, and the served waveform matches a direct engine call
+    with the same interval."""
+    base, mb = server
+    code, resp = _post(base + "/v1/generate", {
+        "prompt": "hip hop beat", "steps": 2, "seconds": 0.01,
+        "guidance": 2.0, "seed": 5, "guidance_interval": [0.0, 0.3],
+    })
+    assert code == 200
+    with wave.open(io.BytesIO(base64.b64decode(resp["audio_b64"]))) as w:
+        pcm = np.frombuffer(w.readframes(w.getnframes()), "<i2").astype(np.float32) / 32767.0
+    direct = engine.generate(["hip hop beat"], num_inference_steps=2,
+                             audio_length_in_s=0.01, guidance_scale=2.0, seed=5,
+                             guidance_interval=(0.0, 0.3))
+    np.testing.assert_allclose(pcm, np.clip(direct[0], -1, 1), atol=1.0 / 32767.0)
+
+    code, resp = _post(base + "/v1/generate", {
+        "prompt": "x", "steps": 2, "seconds": 0.01, "guidance_interval": [0.9, 0.1],
+    })
+    assert code == 400 and "guidance_interval" in resp["error"]
+    code, resp = _post(base + "/v1/generate", {
+        "prompt": "x", "steps": 2, "seconds": 0.01, "guidance_interval": "bad",
+    })
+    assert code == 400 and "guidance_interval" in resp["error"]

@@ -346,3 +346,86 @@ def test_window_parameter_validation(modules):
     cond = jnp.zeros((1, 8), jnp.float32)
     with pytest.raises(ValueError, match="uncovered"):
         _denoise(modules, lat, cond, cond, 2, 2.0, window_frames=2, window_stride=4)
+
+
+# ---- limited-interval guidance (Kynkäänniemi et al. 2024; opt-in) ----
+
+
+def _gi_fixtures(modules, b=1):
+    shape = latent_shape(modules, b, 8 * 2 * 4 / 16000)
+    lat = jax.random.normal(jax.random.PRNGKey(11), shape, jnp.float32)
+    cond = jax.random.normal(jax.random.PRNGKey(12), (b, 8), jnp.float32)
+    unc = jax.random.normal(jax.random.PRNGKey(13), (b, 8), jnp.float32)
+    return lat, cond, unc
+
+
+def test_guidance_interval_full_covering_is_standard_path(modules):
+    """(0, 1) covers every timestep: exactly the standard CFG path."""
+    lat, cond, unc = _gi_fixtures(modules)
+    a = _denoise(modules, lat, cond, unc, 3, 2.5)
+    g = _denoise(modules, lat, cond, unc, 3, 2.5, guidance_interval=(0.0, 1.0))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(g))
+
+
+def test_guidance_interval_empty_equals_cond_only(modules):
+    """An interval covering NO inference timestep must equal guidance 1.0
+    (the conditional-only path), for ddim AND dpm++."""
+    from audioldm_tpu.models.scheduler import inference_timesteps
+
+    lat, cond, unc = _gi_fixtures(modules)
+    n = modules.ddim_cfg.num_train_timesteps
+    ts = inference_timesteps(modules.ddim_cfg, 3)
+    # a degenerate interval strictly between the top timestep and the train max
+    empty = (float(max(ts) + 0.5) / (n - 1), float(max(ts) + 0.6) / (n - 1))
+    for sched in ("ddim", "dpm++"):
+        g = _denoise(modules, lat, cond, unc, 3, 2.5, scheduler=sched,
+                     guidance_interval=empty)
+        c = _denoise(modules, lat, cond, None, 3, 1.0, scheduler=sched)
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(c))
+
+
+def test_guidance_interval_mid_differs_from_both_extremes(modules):
+    """A genuine sub-interval is neither full CFG nor cond-only, and stays
+    finite."""
+    lat, cond, unc = _gi_fixtures(modules)
+    full = _denoise(modules, lat, cond, unc, 4, 2.5)
+    none = _denoise(modules, lat, cond, None, 4, 1.0)
+    mid = _denoise(modules, lat, cond, unc, 4, 2.5, guidance_interval=(0.2, 0.6))
+    mid = np.asarray(mid)
+    assert np.all(np.isfinite(mid))
+    assert np.max(np.abs(mid - np.asarray(full))) > 1e-7
+    assert np.max(np.abs(mid - np.asarray(none))) > 1e-7
+
+
+def test_guidance_interval_generate_end_to_end(modules):
+    """Plumbing proof at the full text->audio surface: an interval covering
+    NO timestep must bit-equal the guidance-1.0 run (guidance_interval
+    actually reaches denoise through generate/generate_mel), and a
+    sub-interval stays finite at the same shape."""
+    from audioldm_tpu.models.scheduler import inference_timesteps
+
+    ids, mask, u_ids, u_mask = _prompts()
+    rng = jax.random.PRNGKey(9)
+    n = modules.ddim_cfg.num_train_timesteps
+    ts = inference_timesteps(modules.ddim_cfg, 3)
+    empty = (float(max(ts) + 0.5) / (n - 1), float(max(ts) + 0.6) / (n - 1))
+    wav_empty = _generate(modules, ids, mask, u_ids, u_mask, rng, 3, 0.01, 2.5,
+                          guidance_interval=empty)
+    wav_g1 = _generate(modules, ids, mask, u_ids, u_mask, rng, 3, 0.01, 1.0)
+    np.testing.assert_array_equal(np.asarray(wav_empty), np.asarray(wav_g1))
+
+    wav = _generate(modules, ids, mask, u_ids, u_mask, rng, 3, 0.01, 2.5,
+                    guidance_interval=(0.1, 0.7))
+    assert wav.shape == wav_g1.shape and np.all(np.isfinite(np.asarray(wav)))
+
+
+def test_guidance_interval_validation(modules):
+    lat, cond, unc = _gi_fixtures(modules)
+    with pytest.raises(ValueError, match="guidance_interval"):
+        _denoise(modules, lat, cond, unc, 2, 2.5, guidance_interval=(0.7, 0.2))
+    with pytest.raises(ValueError, match="lcm"):
+        _denoise(modules, lat, cond, unc, 2, 2.5, scheduler="lcm",
+                 rng=jax.random.PRNGKey(0), guidance_interval=(0.1, 0.5))
+    with pytest.raises(ValueError, match="windowed"):
+        _denoise(modules, lat, cond, unc, 2, 2.5, window_frames=2,
+                 window_stride=1, guidance_interval=(0.1, 0.5))

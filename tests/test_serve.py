@@ -708,3 +708,28 @@ def test_engine_remove_adapter_guards():
     assert not eng.has_adapter("p") and eng.has_adapter("q")
     with pytest.raises(KeyError, match="unknown adapter"):
         eng.remove_adapter("p")
+
+
+def test_guidance_interval_serving(engine):
+    """guidance_interval is a compile-key field: an empty interval must equal
+    the guidance-1.0 path row-for-row, and a sub-interval must differ from
+    standard CFG (pipeline/generate.py limited-interval guidance)."""
+    from audioldm_tpu.models.scheduler import inference_timesteps
+
+    prompts = ["hip hop beat"]
+    n = engine.modules.ddim_cfg.num_train_timesteps
+    ts = inference_timesteps(engine.modules.ddim_cfg, GEN["num_inference_steps"])
+    empty = (float(max(ts) + 0.5) / (n - 1), float(max(ts) + 0.6) / (n - 1))
+    gi_empty = engine.generate(prompts, guidance_interval=empty, **GEN)
+    g1 = {**GEN, "guidance_scale": 1.0}
+    cond_only = engine.generate(prompts, **g1)
+    np.testing.assert_array_equal(gi_empty, cond_only)
+
+    std = engine.generate(prompts, **GEN)
+    # exclude the HIGH-noise step (ts=[501, 1] at 2 steps): guidance there
+    # has a real effect, so the outputs must differ (excluding only the
+    # t~0 step changes the waveform by ~1e-8 — guidance near zero noise is
+    # attenuated by sqrt(1-acp), the paper's point)
+    mid = engine.generate(prompts, guidance_interval=(0.0, 0.3), **GEN)
+    assert mid.shape == std.shape and np.all(np.isfinite(mid))
+    assert np.max(np.abs(mid - std)) > 1e-7
