@@ -190,12 +190,13 @@ def main():
         run(2 + i)
     dt = (time.perf_counter() - t0) / iters
 
-    # secondary few-step sampler metrics (VERDICT round-3 #8): DPM-Solver++
-    # at 25 steps and LCM at 4 steps, tracked in the bench of record so
-    # regressions in the fast paths are caught round-over-round. They share
-    # ONE extra vocoder program; failures degrade to null, never kill the
-    # headline. AUDIOLDM_BENCH_FAST=1 skips them (headline-only run).
-    secondary = {"dpmpp25_s": None, "lcm4_s": None}
+    # secondary fast-path metrics (VERDICT round-3 #8): DPM-Solver++ at 25
+    # steps, LCM at 4 steps, and 50-step DDIM with limited-interval guidance
+    # (0.05, 0.65) — tracked in the bench of record so regressions in the
+    # fast paths are caught round-over-round. They share ONE extra vocoder
+    # program; failures degrade to null, never kill the headline.
+    # AUDIOLDM_BENCH_FAST=1 skips them (headline-only run).
+    secondary = {"dpmpp25_s": None, "lcm4_s": None, "gi50_s": None}
     if os.environ.get("AUDIOLDM_BENCH_FAST") != "1":
         from audioldm_tpu.pipeline.generate import generate_mel, vocode
 
@@ -205,16 +206,18 @@ def main():
         def _voc2(mods, mel):
             return vocode(mods, mel, voc_samples)
 
-        def _mk(n, sched):
+        def _mk(n, sched, gi=None):
             @jax.jit
             def _mel(mods, i, m, ui, um, rng):
                 return generate_mel(mods, i, m, ui, um, rng, n, seconds,
-                                    guidance, dtype=jnp.bfloat16, scheduler=sched)
+                                    guidance, dtype=jnp.bfloat16, scheduler=sched,
+                                    guidance_interval=gi)
             return _mel
 
-        for key, n, sched in (("dpmpp25_s", 25, "dpm++"), ("lcm4_s", 4, "lcm")):
+        for key, n, sched in (("dpmpp25_s", 25, "dpm++"), ("lcm4_s", 4, "lcm"),
+                              ("gi50_s", 50, "ddim")):
             try:
-                mel_fn = _mk(n, sched)
+                mel_fn = _mk(n, sched, gi=(0.05, 0.65) if key == "gi50_s" else None)
 
                 def run2(seed):
                     wav = _voc2(modules, mel_fn(modules, ids, mask, u_ids, u_mask,

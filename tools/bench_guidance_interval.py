@@ -27,6 +27,7 @@ def main():
     ap.add_argument("--intervals", default="full,0.05:0.65,0.1:0.5")
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--scheduler", default="ddim", choices=["ddim", "dpm++"])
     args = ap.parse_args()
 
     from audioldm_tpu.config import ClapTextConfig, DDIMConfig, UNetConfig, VAEConfig, VocoderConfig
@@ -79,6 +80,7 @@ def main():
         fn = make_generate_fn(
             modules, num_inference_steps=args.steps, audio_length_in_s=10.24,
             guidance_scale=2.5, dtype=jnp.bfloat16, guidance_interval=gi,
+            scheduler=args.scheduler,
         )
 
         def run(seed):
