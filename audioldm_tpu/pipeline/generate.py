@@ -329,6 +329,13 @@ def denoise(
             t_lo = jnp.asarray(lo * (n_train - 1), jnp.float32)
             t_hi = jnp.asarray(hi * (n_train - 1), jnp.float32)
             cfg_predict = predict_eps
+            # per-request batched lora leaves are CFG-tiled to [2b, ...]
+            # (AdapterBank.gather cfg_batch=2 tiles the same adapter rows
+            # into both halves), so the batch-b conditional-only call takes
+            # the first b rows — identical adapters, matching batch
+            lora_cond = lora
+            if lora is not None and any(x.ndim == 3 for x in jax.tree.leaves(lora)):
+                lora_cond = jax.tree.map(lambda x: x[:b] if x.ndim == 3 else x, lora)
 
             def cond_predict(lat, t):
                 # conditional-only step — identical math to the do_cfg=False
@@ -337,7 +344,7 @@ def denoise(
                 return apply_unet(
                     modules.unet, modules.unet_cfg, lat.astype(dtype), t_b,
                     class_labels=cond_embeds.astype(dtype),
-                    lora=lora, lora_scale=lora_scale,
+                    lora=lora_cond, lora_scale=lora_scale,
                 ).astype(jnp.float32)
 
             def predict_eps(lat, t):  # noqa: F811 — limited-interval override
@@ -638,13 +645,16 @@ def make_generate_fn(
 
         Returns per-stage wall seconds ``{"mel_compile_s", "voc_compile_s"}``
         (measured inside each thread, so they overlap — the receipts the
-        bench of record emits, VERDICT round-3 #1)."""
+        bench of record emits, VERDICT round-3 #1). The split_compile=False
+        branch instead returns ``{"mono_compile_s"}``: one monolithic
+        compile+first-execution, which is NOT comparable to the split
+        mel-stage receipt and must not masquerade as it."""
         import time as _time
 
         if not split_compile:
             t0 = _time.perf_counter()
             fn_plain(modules, input_ids, attention_mask, uncond_ids, uncond_mask, rng)
-            return {"mel_compile_s": _time.perf_counter() - t0, "voc_compile_s": 0.0}
+            return {"mono_compile_s": _time.perf_counter() - t0}
         from concurrent.futures import ThreadPoolExecutor
 
         args = (input_ids, attention_mask, uncond_ids, uncond_mask, rng)

@@ -108,6 +108,11 @@ class Microbatcher:
         # loaded adapter that no composition references (load_adapter)
         self.max_adapters = max_adapters
         self._adapter_last_used: dict[str, float] = {}
+        # adapters referenced by accepted-but-unfinished requests: submit
+        # increments, future resolution decrements. Eviction and DELETE must
+        # not remove these — a request validated at submit time would fail
+        # with an unknown-adapter 500 at serve time (code-review finding).
+        self._adapter_inflight: dict[str, int] = {}
         self.batch_sizes: list[int] = []  # observability (tested)
         self.latencies_ms: deque[float] = deque(maxlen=1024)  # submit->result wall
         self.served = 0
@@ -139,9 +144,22 @@ class Microbatcher:
         with self._cv:
             if not self._running:
                 raise RuntimeError("Microbatcher is closed")
+            if adapter and adapter != "base":
+                self._adapter_inflight[adapter] = self._adapter_inflight.get(adapter, 0) + 1
             self._pending.append(req)
             self._cv.notify()
         return fut
+
+    def _release_inflight(self, r: "_Pending") -> None:
+        """Drop the in-flight pin once ``r``'s future is resolved."""
+        if not r.adapter or r.adapter == "base":
+            return
+        with self._cv:
+            n = self._adapter_inflight.get(r.adapter, 0) - 1
+            if n > 0:
+                self._adapter_inflight[r.adapter] = n
+            else:
+                self._adapter_inflight.pop(r.adapter, None)
 
     def load_adapter(self, name: str, adapter_tree, rank: int, alpha: Optional[float] = None) -> None:
         """Hot-load (or replace) a LoRA adapter in the running engine.
@@ -190,13 +208,16 @@ class Microbatcher:
         if not (over_policy or eng.bank.full):
             return
         in_use = {c for w in eng.composed.values() for c in w}
+        with self._cv:
+            in_use |= {n for n, c in self._adapter_inflight.items() if c > 0}
         candidates = [n for n in eng.bank.names
                       if n != "base" and n != incoming and n not in in_use]
         if not candidates:
             raise ValueError(
                 f"adapter bank is at capacity ({loaded} loaded, "
-                f"max_adapters={self.max_adapters}) and every adapter is a "
-                "composition component — remove a composition first"
+                f"max_adapters={self.max_adapters}) and every adapter is "
+                "pinned (a composition component or referenced by in-flight "
+                "requests) — remove a composition or retry later"
             )
         victim = min(candidates, key=lambda n: self._adapter_last_used.get(n, 0.0))
         eng.remove_adapter(victim)
@@ -204,8 +225,17 @@ class Microbatcher:
 
     def remove_adapter(self, name: str) -> None:
         """Unload an adapter or composition from the running engine
-        (engine.remove_adapter: slot freed + merged cache dropped)."""
+        (engine.remove_adapter: slot freed + merged cache dropped). Refused
+        while accepted requests still reference it — they were validated at
+        submit time and must not fail with unknown-adapter at serve time."""
         with self._engine_lock:
+            with self._cv:
+                if self._adapter_inflight.get(name, 0) > 0:
+                    raise ValueError(
+                        f"adapter {name!r} is referenced by "
+                        f"{self._adapter_inflight[name]} in-flight request(s); "
+                        "retry after they complete"
+                    )
             self.engine.remove_adapter(name)
             self._adapter_last_used.pop(name, None)
 
@@ -278,13 +308,28 @@ class Microbatcher:
             if batch:
                 self._serve(batch)
 
+    def _batch_rng(self, ordinal: int):
+        """Batch rng for unseeded rows: ``fold_in(PRNGKey(base_seed), n)``,
+        NOT ``PRNGKey(base_seed + n)``. A raw ``PRNGKey(k)`` batch key would
+        make unseeded row 0 (``fold_in(rng, 0)`` in ``ServeEngine._row_keys``)
+        bit-identical to a user request seeded with that same small ``k`` —
+        and daemon ordinals are small monotone ints, exactly the seeds users
+        pick. Folding leaves the ``PRNGKey(k)`` family, so the collision
+        needs a 2^-64 key coincidence instead of two small equal ints
+        (code-review finding)."""
+        import jax
+
+        return jax.random.fold_in(jax.random.PRNGKey(self.base_seed), ordinal)
+
     def _serve(self, batch: list[_Pending]) -> None:
         p = batch[0].params
+        rng_key = None
         if len(batch) == 1 and batch[0].seed is not None and p.scheduler == "lcm":
             # solo seeded lcm: batch-rng reproducibility (docstring rule)
             seed, seeds = batch[0].seed, None
         else:
-            seed = self.base_seed + self._batch_ordinal
+            seed = 0  # unused: rng_key takes precedence in engine.generate
+            rng_key = self._batch_rng(self._batch_ordinal)
             self._batch_ordinal += 1
             # per-request seeds ride per-row latent keys — reproducible
             # inside any shared batch (ServeEngine._row_keys)
@@ -299,6 +344,7 @@ class Microbatcher:
                     guidance_scale=p.guidance_scale,
                     scheduler=p.scheduler,
                     seed=seed,
+                    rng_key=rng_key,
                     negative_prompt=p.negative_prompt,
                     window_seconds=p.window_seconds,
                     window_overlap=p.window_overlap,
@@ -315,6 +361,7 @@ class Microbatcher:
                     self._serve([r])
                 return
             batch[0].future.set_exception(e)
+            self._release_inflight(batch[0])
             return
         self.batch_sizes.append(len(batch))
         self.served += len(batch)
@@ -324,6 +371,7 @@ class Microbatcher:
             if r.adapter and r.adapter != "base":
                 self._adapter_last_used[r.adapter] = now  # LRU eviction order
             r.future.set_result(wavs[i])
+            self._release_inflight(r)
 
 
 # -- HTTP front end -------------------------------------------------------
@@ -412,6 +460,9 @@ def make_server(
             ws = body.get("window_seconds")
             gi = body.get("guidance_interval")
             if gi is not None:
+                # a str is iterable, so "01" would silently pass as (0.0, 1.0)
+                if not isinstance(gi, (list, tuple)) or len(gi) != 2:
+                    return self._json(400, {"error": "guidance_interval expects [lo, hi] fractions"})
                 try:
                     lo, hi = (float(x) for x in gi)
                 except (TypeError, ValueError):

@@ -99,6 +99,12 @@ class AdapterBank:
     def add(self, name: str, adapter: dict) -> int:
         if name == "base":
             raise ValueError("'base' is the reserved zero-adapter slot")
+        # validate BEFORE touching any state: _write's donated per-leaf
+        # updates delete the old bank buffers as they go, so a mismatch
+        # surfacing mid-tree would leave self.stacked referencing deleted
+        # arrays (every later gather dead until restart) — all-or-nothing
+        # requires rejecting the tree up front (code-review finding)
+        adapter = self._conform(adapter)
         if name in self.names:  # replace in place
             idx = self.names[name]
         elif self._free:
@@ -134,6 +140,24 @@ class AdapterBank:
         idx = self.names.pop(name)
         self._write(idx, self._zero)
         self._free.append(idx)
+
+    def _conform(self, adapter: dict) -> dict:
+        """Check ``adapter`` against the bank's template (same tree
+        structure, same per-leaf shapes) and cast leaves to the bank dtype.
+        Raises ValueError on any mismatch — before a single slot write."""
+        def chk(z, leaf):
+            leaf = jnp.asarray(leaf)
+            if tuple(leaf.shape) != tuple(z.shape):
+                raise ValueError(
+                    f"adapter leaf shape {tuple(leaf.shape)} != bank template "
+                    f"{tuple(z.shape)} (same-rank, same-geometry adapters only)"
+                )
+            return leaf.astype(z.dtype)
+
+        try:
+            return jax.tree.map(chk, self._zero, adapter)
+        except ValueError as e:
+            raise ValueError(f"adapter rejected, bank unchanged: {e}") from e
 
     def _write(self, idx: int, adapter: dict) -> None:
         i = jnp.asarray(idx, jnp.int32)
@@ -439,9 +463,12 @@ class ServeEngine:
         jitter (~1e-8; bit-exact when batch shapes coincide). The old design
         forced seeded requests into solo batches, a throughput cliff —
         VERDICT round-3 weak #4. Unseeded rows fold the batch rng by row
-        ordinal (deterministic per batch, never reused across flushes; a
-        batch whose rng equals some row's PRNGKey(seed) would collide at
-        row 0 — practically impossible with the daemon's monotone seeds)."""
+        ordinal (deterministic per batch, never reused across flushes).
+        NB: a batch rng that IS ``PRNGKey(k)`` makes unseeded row 0 collide
+        with a request seeded ``k`` — so batch-rng providers must pass a
+        folded key, not a raw small-int PRNGKey (the daemon's ``_batch_rng``
+        does; callers of ``generate(seed=...)`` mixing unseeded rows with
+        ``seeds`` entries equal to that seed accept the coincidence)."""
         keys = [
             jax.random.fold_in(jax.random.PRNGKey(seeds[i]), 0)
             if seeds is not None and i < len(seeds) and seeds[i] is not None

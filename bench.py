@@ -256,8 +256,8 @@ def main():
                 "init_s": round(init_s, 1),
                 "compile_s": round(compile_s, 1),
                 # per-stage compile receipts (threads overlap; VERDICT r3 #1)
-                "mel_compile_s": round(stages["mel_compile_s"], 1) if stages else None,
-                "voc_compile_s": round(stages["voc_compile_s"], 1) if stages else None,
+                "mel_compile_s": round(stages["mel_compile_s"], 1) if "mel_compile_s" in stages else None,
+                "voc_compile_s": round(stages["voc_compile_s"], 1) if "voc_compile_s" in stages else None,
                 "first_run_s": round(first_run_s, 1),
                 "first_mel_exec_s": None if first_mel_s is None else round(first_mel_s, 1),
                 "first_voc_exec_s": None if first_voc_s is None else round(first_voc_s, 1),

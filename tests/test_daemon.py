@@ -55,9 +55,12 @@ def test_batch_forms_on_max_batch(engine):
         futs = [mb.submit(p, params=PARAMS) for p in prompts]
         wavs = np.stack([f.result(timeout=120) for f in futs])
         assert mb.batch_sizes == [3]
+        # batch 0's rng is fold_in(PRNGKey(base_seed), 0) — NOT PRNGKey(7):
+        # a raw small-int batch key would collide with a request seeded 7
+        # (Microbatcher._batch_rng)
         direct = engine.generate(
             prompts, adapters=[None] * 3, num_inference_steps=2,
-            audio_length_in_s=0.01, guidance_scale=2.0, seed=7,
+            audio_length_in_s=0.01, guidance_scale=2.0, rng_key=mb._batch_rng(0),
         )
         np.testing.assert_allclose(wavs, direct, atol=1e-6)
     finally:
@@ -489,3 +492,62 @@ def test_http_guidance_interval(server, engine):
         "prompt": "x", "steps": 2, "seconds": 0.01, "guidance_interval": "bad",
     })
     assert code == 400 and "guidance_interval" in resp["error"]
+    # a 2-char numeric STRING is iterable — "01" must not silently pass as
+    # (0.0, 1.0) (code-review finding)
+    code, resp = _post(base + "/v1/generate", {
+        "prompt": "x", "steps": 2, "seconds": 0.01, "guidance_interval": "01",
+    })
+    assert code == 400 and "guidance_interval" in resp["error"]
+    code, resp = _post(base + "/v1/generate", {
+        "prompt": "x", "steps": 2, "seconds": 0.01, "guidance_interval": [0.1, 0.5, 0.9],
+    })
+    assert code == 400 and "guidance_interval" in resp["error"]
+
+
+def test_inflight_adapter_pinned_against_eviction_and_delete():
+    """An adapter referenced by an accepted-but-unserved request must not be
+    LRU-evicted or DELETEd out from under it — the request was validated at
+    submit time and would otherwise 500 at serve time (code-review finding).
+    The pin lifts once the request's future resolves."""
+    eng = _make_engine()  # bank: hiphop
+    a2 = jax.tree.map(lambda x: x + 0.02,
+                      init_lora(jax.random.PRNGKey(5), eng.modules.unet, eng.lora_cfg))
+    mb = Microbatcher(eng, max_batch=8, max_delay_ms=10_000.0, max_adapters=1)
+    try:
+        fut = mb.submit("beat", adapter="hiphop", params=PARAMS)
+        # the request sits in the batching window (max_batch 8, long delay):
+        # hiphop is pinned — direct removal and evicting loads are refused
+        with pytest.raises(ValueError, match="in-flight"):
+            mb.remove_adapter("hiphop")
+        with pytest.raises(ValueError, match="pinned"):
+            mb.load_adapter("funk", a2, rank=2, alpha=4)
+        assert eng.has_adapter("hiphop")
+        mb.close()  # drains the queue — the pinned request serves
+        assert fut.result(timeout=180).shape == (160,)
+        # pin lifted: the same load now LRU-evicts hiphop (max_adapters=1)
+        mb.load_adapter("funk", a2, rank=2, alpha=4)
+        assert eng.has_adapter("funk") and not eng.has_adapter("hiphop")
+    finally:
+        mb.close()
+
+
+def test_batch_rng_leaves_prngkey_family(engine):
+    """The unseeded batch rng is fold_in(PRNGKey(base_seed), ordinal), never
+    a raw PRNGKey(k): a raw small-int batch key would make unseeded row 0
+    (fold_in(rng, 0)) bit-identical to a request seeded with that same small
+    k — two unrelated requests served the same waveform (code-review
+    finding). Check the first batch ordinals against the small-seed family."""
+    mb = Microbatcher(engine, max_batch=1, max_delay_ms=1.0, base_seed=0)
+    try:
+        raw = {tuple(np.asarray(jax.random.PRNGKey(k)).tolist()) for k in range(512)}
+        seeded_row0 = {
+            tuple(np.asarray(jax.random.fold_in(jax.random.PRNGKey(k), 0)).tolist())
+            for k in range(512)
+        }
+        for ordinal in range(16):
+            bk = mb._batch_rng(ordinal)
+            assert tuple(np.asarray(bk).tolist()) not in raw
+            row0 = jax.random.fold_in(bk, 0)
+            assert tuple(np.asarray(row0).tolist()) not in seeded_row0
+    finally:
+        mb.close()

@@ -733,3 +733,60 @@ def test_guidance_interval_serving(engine):
     mid = engine.generate(prompts, guidance_interval=(0.0, 0.3), **GEN)
     assert mid.shape == std.shape and np.all(np.isfinite(mid))
     assert np.max(np.abs(mid - std)) > 1e-7
+
+
+def test_guidance_interval_on_rank_r_batched_lora(engine):
+    """Limited-interval CFG must work on the rank-r gathered path, where the
+    per-request lora leaves are CFG-tiled to [2b, ...]: the conditional-only
+    branch slices the first b rows (gather tiles the same adapters into both
+    halves — pipeline/generate.py lora_cond). Pre-fix this crashed at trace
+    time with a batch mismatch (code-review finding). An empty interval must
+    equal the guidance-1.0 rank-r run exactly."""
+    from audioldm_tpu.models.scheduler import inference_timesteps
+
+    nosplit = ServeEngine(
+        engine.modules, DummyTokenizer(), engine.lora_cfg, bank=engine.bank,
+        dtype=jnp.float32, split_mixed_adapters=False,
+    )
+    prompts = ["hip hop beat", "smooth jazz"]
+    adapters = ["hiphop", "jazz"]
+    n = engine.modules.ddim_cfg.num_train_timesteps
+    ts = inference_timesteps(engine.modules.ddim_cfg, GEN["num_inference_steps"])
+    empty = (float(max(ts) + 0.5) / (n - 1), float(max(ts) + 0.6) / (n - 1))
+    gi_empty = nosplit.generate(prompts, adapters=adapters,
+                                guidance_interval=empty, **GEN)
+    g1 = {**GEN, "guidance_scale": 1.0}
+    cond_only = nosplit.generate(prompts, adapters=adapters, **g1)
+    np.testing.assert_allclose(gi_empty, cond_only, atol=1e-6)
+    # a sub-interval runs both branches of the lax.cond — finite and distinct
+    mid = nosplit.generate(prompts, adapters=adapters,
+                           guidance_interval=(0.0, 0.3), **GEN)
+    std = nosplit.generate(prompts, adapters=adapters, **GEN)
+    assert np.all(np.isfinite(mid))
+    assert np.max(np.abs(mid - std)) > 1e-7
+
+
+def test_bank_rejects_bad_adapter_atomically():
+    """A mismatched adapter tree must be rejected BEFORE any slot write:
+    _write's donated updates delete the old bank buffers as they go, so a
+    mid-tree failure would leave the bank referencing deleted arrays
+    (code-review finding). After a rejected add the bank must still serve."""
+    bank = AdapterBank(_toy_adapter(0.0), rank=2, capacity=4)
+    bank.add("good", _toy_adapter(1.0))
+    # wrong leaf shape
+    bad = {"q": {"a": jnp.ones((4, 2), jnp.float32), "b": jnp.ones((3, 4), jnp.float32)}}
+    with pytest.raises(ValueError, match="bank unchanged"):
+        bank.add("bad", bad)
+    # wrong tree structure
+    with pytest.raises(ValueError, match="bank unchanged|custom node"):
+        bank.add("bad", {"q": {"a": jnp.ones((4, 2), jnp.float32)}})
+    assert "bad" not in bank.names
+    # the bank is untouched and still serves
+    got = bank.gather(bank.indices(["good", "base"]))
+    np.testing.assert_array_equal(np.asarray(got["q"]["a"][0]), np.full((4, 2), 1.0))
+    np.testing.assert_array_equal(np.asarray(got["q"]["a"][1]), np.zeros((4, 2)))
+    # dtype mismatches are cast to the bank dtype, not errors
+    bank.add("f64", {"q": {"a": np.full((4, 2), 2.0, np.float64),
+                           "b": np.full((2, 4), 2.0, np.float64)}})
+    leaf = jax.tree.leaves(bank.gather(bank.indices(["f64"])))[0]
+    assert leaf.dtype == jnp.float32
