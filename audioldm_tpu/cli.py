@@ -621,6 +621,16 @@ def _add_serve(sub):
                    help="bank capacity policy: hot-loading past this count "
                         "LRU-evicts the least-recently-served adapter not "
                         "pinned by a composition (daemon only)")
+    p.add_argument("--geometry", action="append", default=[], metavar="SPEC",
+                   help="daemon compile-geometry allowlist entry; repeatable. "
+                        "'default' = this command's --steps/--seconds/--guidance/"
+                        "--scheduler, or a JSON object with any of steps/seconds/"
+                        "guidance/scheduler/window_seconds/window_overlap/"
+                        "guidance_interval (missing fields take the request "
+                        "defaults). With at least one --geometry, requests whose "
+                        "compile key is not listed get HTTP 400 instead of "
+                        "triggering a minutes-long serve-path compile or an "
+                        "HBM-OOM probe; without it, any geometry is accepted")
     p.add_argument("--output", default=None, help="output dir (000000.wav ... in request order)")
     p.add_argument("--fp32", action="store_true")
     p.add_argument("--dp", type=int, default=None, help="data-parallel devices")
@@ -682,16 +692,44 @@ def cmd_serve(args):
         raise SystemExit("serve needs exactly one of --requests (offline batch) or --port (HTTP daemon)")
 
     if args.port is not None:
-        from audioldm_tpu.serve import Microbatcher, make_server
+        from audioldm_tpu.serve import GenParams, Microbatcher, make_server
 
         if args.warmup:
             print("warming up: compiling every bucket's program ...")
             engine.warmup(num_inference_steps=args.steps, audio_length_in_s=args.seconds,
                           guidance_scale=args.guidance, scheduler=args.scheduler)
+        geometries = None
+        if args.geometry:
+            geometries = []
+            for spec in args.geometry:
+                if spec == "default":
+                    geometries.append(GenParams(
+                        num_inference_steps=args.steps, audio_length_in_s=args.seconds,
+                        guidance_scale=args.guidance, scheduler=args.scheduler,
+                    ))
+                    continue
+                try:
+                    d = json.loads(spec)
+                    gi = d.get("guidance_interval")
+                    geometries.append(GenParams(
+                        num_inference_steps=int(d.get("steps", 50)),
+                        audio_length_in_s=float(d.get("seconds", 10.0)),
+                        guidance_scale=float(d.get("guidance", 2.5)),
+                        scheduler=str(d.get("scheduler", "ddim")),
+                        window_seconds=None if d.get("window_seconds") is None
+                        else float(d["window_seconds"]),
+                        window_overlap=float(d.get("window_overlap", 0.5)),
+                        guidance_interval=None if gi is None else tuple(float(x) for x in gi),
+                    ))
+                except (ValueError, TypeError, json.JSONDecodeError) as e:
+                    raise SystemExit(f"--geometry expects 'default' or a JSON object "
+                                     f"(steps/seconds/guidance/scheduler/window_seconds/"
+                                     f"window_overlap/guidance_interval), got {spec!r}: {e}")
+            print(f"geometry allowlist: {[g.geometry() for g in geometries]}")
         batcher = Microbatcher(
             engine, max_batch=args.max_batch or engine.bucket_sizes[-1],
             max_delay_ms=args.batch_delay_ms, base_seed=args.seed,
-            max_adapters=args.max_adapters,
+            max_adapters=args.max_adapters, geometries=geometries,
         )
         server = make_server(batcher, modules.vocoder_cfg.sampling_rate,
                              host=args.host, port=args.port)

@@ -73,6 +73,17 @@ class GenParams:
     # fractions of the train timestep range, guidance applied only inside
     guidance_interval: Optional[tuple] = None
 
+    def geometry(self) -> tuple:
+        """The compile-key fields — everything that selects a distinct XLA
+        program. ``negative_prompt`` is a batch-grouping field only (one
+        shared uncond row per batch), so it is excluded: any negative
+        prompt rides an allowed geometry."""
+        return (
+            self.num_inference_steps, self.audio_length_in_s,
+            self.guidance_scale, self.scheduler, self.window_seconds,
+            self.window_overlap, self.guidance_interval,
+        )
+
 
 @dataclass
 class _Pending:
@@ -98,11 +109,26 @@ class Microbatcher:
         max_delay_ms: float = 50.0,
         base_seed: int = 0,
         max_adapters: Optional[int] = None,
+        geometries: Optional[list] = None,
     ):
         self.engine = engine
         self.max_batch = max_batch
         self.max_delay_ms = max_delay_ms
         self.base_seed = base_seed
+        # compile-geometry allowlist (VERDICT round-4 #5): every distinct
+        # (steps, seconds, scheduler, window, guidance-interval) combination
+        # compiles a NEW device program — minutes on the remote-compiler
+        # backend — and an oversized request can HBM-OOM the worker outright
+        # (the b=32 probe crashed it once; NOTES environment gotchas). With
+        # an allowlist, submit() rejects any request whose GenParams.geometry
+        # is not in the set, so arbitrary HTTP traffic can neither trigger
+        # serve-path compiles nor probe the memory cliff. None = unrestricted
+        # (offline / trusted callers).
+        self.geometries: Optional[frozenset] = (
+            None if geometries is None
+            else frozenset(g.geometry() if isinstance(g, GenParams) else tuple(g)
+                           for g in geometries)
+        )
         # hot-load capacity policy: loading a NEW adapter past this count
         # (or past the bank's max_capacity) evicts the least-recently-served
         # loaded adapter that no composition references (load_adapter)
@@ -133,15 +159,27 @@ class Microbatcher:
         seed: Optional[int] = None,
     ) -> Future:
         """Enqueue one request; the Future resolves to a float32 waveform
-        ``[samples]``. Unknown adapters fail fast here (not mid-batch)."""
-        if not self.engine.has_adapter(adapter):
-            bank = self.engine.bank
-            have = sorted(bank.names) if bank is not None else []
-            raise KeyError(f"unknown adapter {adapter!r}; loaded: "
-                           f"{have} composed: {sorted(self.engine.composed)}")
+        ``[samples]``. Unknown adapters and disallowed geometries fail fast
+        here (not mid-batch)."""
+        if self.geometries is not None and params.geometry() not in self.geometries:
+            raise ValueError(
+                f"request geometry {params.geometry()} is not in the served "
+                f"allowlist (steps, seconds, guidance, scheduler, window_seconds, "
+                f"window_overlap, guidance_interval); allowed: {sorted(self.geometries)}"
+            )
         fut: Future = Future()
         req = _Pending(prompt, adapter, params, seed, fut, time.monotonic())
         with self._cv:
+            # adapter validation and the in-flight pin are ATOMIC under _cv:
+            # remove_adapter/_evict_for hold _cv across their pin-check AND
+            # the engine removal, so a submit can never pin an adapter that
+            # a concurrent DELETE/eviction already decided to remove
+            # (advisor round-4 TOCTOU finding)
+            if not self.engine.has_adapter(adapter):
+                bank = self.engine.bank
+                have = sorted(bank.names) if bank is not None else []
+                raise KeyError(f"unknown adapter {adapter!r}; loaded: "
+                               f"{have} composed: {sorted(self.engine.composed)}")
             if not self._running:
                 raise RuntimeError("Microbatcher is closed")
             if adapter and adapter != "base":
@@ -208,20 +246,24 @@ class Microbatcher:
         if not (over_policy or eng.bank.full):
             return
         in_use = {c for w in eng.composed.values() for c in w}
+        # hold _cv across the pin check AND the removal: a submit pinning
+        # concurrently either lands before (victim is excluded) or blocks on
+        # _cv until the bank no longer has the victim and its has_adapter
+        # validation fails fast (advisor round-4 TOCTOU finding)
         with self._cv:
             in_use |= {n for n, c in self._adapter_inflight.items() if c > 0}
-        candidates = [n for n in eng.bank.names
-                      if n != "base" and n != incoming and n not in in_use]
-        if not candidates:
-            raise ValueError(
-                f"adapter bank is at capacity ({loaded} loaded, "
-                f"max_adapters={self.max_adapters}) and every adapter is "
-                "pinned (a composition component or referenced by in-flight "
-                "requests) — remove a composition or retry later"
-            )
-        victim = min(candidates, key=lambda n: self._adapter_last_used.get(n, 0.0))
-        eng.remove_adapter(victim)
-        self._adapter_last_used.pop(victim, None)
+            candidates = [n for n in eng.bank.names
+                          if n != "base" and n != incoming and n not in in_use]
+            if not candidates:
+                raise ValueError(
+                    f"adapter bank is at capacity ({loaded} loaded, "
+                    f"max_adapters={self.max_adapters}) and every adapter is "
+                    "pinned (a composition component or referenced by in-flight "
+                    "requests) — remove a composition or retry later"
+                )
+            victim = min(candidates, key=lambda n: self._adapter_last_used.get(n, 0.0))
+            eng.remove_adapter(victim)
+            self._adapter_last_used.pop(victim, None)
 
     def remove_adapter(self, name: str) -> None:
         """Unload an adapter or composition from the running engine
@@ -229,6 +271,8 @@ class Microbatcher:
         while accepted requests still reference it — they were validated at
         submit time and must not fail with unknown-adapter at serve time."""
         with self._engine_lock:
+            # _cv held across the pin check AND the removal — see _evict_for
+            # (advisor round-4 TOCTOU finding)
             with self._cv:
                 if self._adapter_inflight.get(name, 0) > 0:
                     raise ValueError(
@@ -236,8 +280,8 @@ class Microbatcher:
                         f"{self._adapter_inflight[name]} in-flight request(s); "
                         "retry after they complete"
                     )
-            self.engine.remove_adapter(name)
-            self._adapter_last_used.pop(name, None)
+                self.engine.remove_adapter(name)
+                self._adapter_last_used.pop(name, None)
 
     def compose_adapter(self, name: str, weights: dict) -> None:
         """Register a weighted multi-LoRA composition in the running engine
@@ -489,6 +533,11 @@ def make_server(
                 )
                 wav = fut.result(timeout=request_timeout_s)
             except KeyError as e:
+                return self._json(400, {"error": str(e)})
+            except ValueError as e:
+                # bad request parameters: geometry not in the served
+                # allowlist (Microbatcher.geometries) or an engine-level
+                # parameter rejection — the client's fault, not a 500
                 return self._json(400, {"error": str(e)})
             except Exception as e:  # noqa: BLE001 — surface engine errors
                 return self._json(500, {"error": f"{type(e).__name__}: {e}"})

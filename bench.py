@@ -10,11 +10,19 @@ HiFi-GAN vocoder) at the reference's flagship geometry: 10.24 s clip
 byte profile is identical).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} plus
-roofline fields (tflops_useful / mfu / padded_peak_frac from the analytic
-counter in audioldm_tpu.utils.flops, VERDICT round-3 #1) and the tracked
-compile metrics (init_s / compile_s, VERDICT round-3 #2).
-``vs_baseline`` = target_seconds / measured_seconds vs the 1.0 s/clip north
-star (>1.0 means faster than target).
+roofline fields (tflops_useful / mfu / padded_peak_frac), compile/cold-start
+receipts per stage (VERDICT round-3 #2, round-4 #1/#2), a transport
+bandwidth probe (``tunnel_mbps``), and the tracked few-step sampler
+latencies (dpmpp25_s / lcm4_s / gi50_s).
+
+Cold-start design (VERDICT round-4 #1): the pipeline compiles as FOUR XLA
+programs (text / denoise-scan / VAE-decode / vocoder,
+``make_generate_fn(split_compile="fine")``) instead of the former two —
+on this remote-tunnel backend the dominant cold-start cost is the one-time
+LOAD of each compiled executable onto the worker (the old 293 MB mel
+program loaded in 12-565 s; PERF.md round-4 receipts), loads overlap on
+the transport, and ``warm_stages()`` forces all four concurrently so the
+wall-clock is max(stage load) instead of the serial sum.
 """
 
 import json
@@ -24,12 +32,13 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # Persistent compile cache: the driver re-runs this every round.  On the
 # remote-tunnel backend a cache HIT still ships the serialized executable
-# (~70 MB for the split pipeline) up the tunnel at ~0.3-0.4 MB/s — measured
-# 185-261 s, SLOWER than the ~100 s server-side recompile — so the cache is
-# opt-in here (AUDIOLDM_BENCH_CACHE=1); on local backends it is a pure win.
+# up the tunnel at ~0.3-0.4 MB/s — measured 185-261 s, SLOWER than the
+# ~100 s server-side recompile — so the cache is opt-in here
+# (AUDIOLDM_BENCH_CACHE=1); on local backends it is a pure win.
 if os.environ.get("AUDIOLDM_BENCH_CACHE") == "1":
     os.makedirs("/root/repo/.jax_cache", exist_ok=True)
     try:
@@ -37,6 +46,36 @@ if os.environ.get("AUDIOLDM_BENCH_CACHE") == "1":
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     except Exception:
         pass
+
+
+def probe_tunnel(mb: float = 16.0) -> dict:
+    """Raw host->device->host transfer timing for a ``mb``-MB buffer
+    (VERDICT round-4 #2: make cold-start attribution decidable from the
+    bench JSON alone). ``tunnel_mbps`` is the round-trip rate over
+    2*mb bytes; ``tunnel_put_s``/``tunnel_get_s`` split the directions,
+    with the caveat that ``block_until_ready`` can return early on this
+    backend (NOTES), so the SUM is the robust number. A 1 KB warm
+    transfer first absorbs one-time client init (the 4-73 s first-fence
+    gotcha) into ``tunnel_init_s`` so it doesn't pollute the rate."""
+    t0 = time.perf_counter()
+    jax.device_get(jax.device_put(np.zeros(256, np.float32)))
+    init_s = time.perf_counter() - t0
+    n = int(mb * 1e6 / 4)
+    buf = np.random.default_rng(0).standard_normal(n).astype(np.float32)
+    t0 = time.perf_counter()
+    x = jax.device_put(buf)
+    x.block_until_ready()
+    put_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    back = np.asarray(x)
+    get_s = time.perf_counter() - t0
+    assert back[0] == buf[0]
+    return {
+        "tunnel_init_s": round(init_s, 2),
+        "tunnel_put_s": round(put_s, 2),
+        "tunnel_get_s": round(get_s, 2),
+        "tunnel_mbps": round(2 * mb / (put_s + get_s), 2),
+    }
 
 
 def main():
@@ -53,9 +92,16 @@ def main():
     seconds = 10.24
     guidance = 2.5
 
+    # transport probe FIRST — before any compile finishes, so no executable
+    # load shares the tunnel with it (AUDIOLDM_BENCH_PROBE=0 skips;
+    # AUDIOLDM_BENCH_PROBE_MB sizes it)
+    tunnel = {}
+    if os.environ.get("AUDIOLDM_BENCH_PROBE") != "0":
+        tunnel = probe_tunnel(float(os.environ.get("AUDIOLDM_BENCH_PROBE_MB", "16")))
+        print(f"# tunnel probe: {tunnel}", file=sys.stderr)
+
     # one fused normal draw + slices per model: the per-leaf init graph cost
-    # 320 s cold compile / ~100 s even on a persistent-cache hit (the tunnel
-    # ships the 36 MB executable at ~1 MB/s) — utils/fastinit.py docstring
+    # 320 s cold compile (utils/fastinit.py docstring)
     from audioldm_tpu.config import ClapTextConfig, UNetConfig, VAEConfig, VocoderConfig
     from audioldm_tpu.models.clap_text import init_clap_text
     from audioldm_tpu.models.unet import init_unet
@@ -79,12 +125,12 @@ def main():
 
     # The bundle starts as AVALS (ShapeDtypeStructs from eval_shape of the
     # init fn itself, so dtypes match the real buffers exactly): jit.lower
-    # accepts avals, which lets the two stage AOT compiles below START while
-    # the init program is still compiling/executing on the server — all three
-    # are independent server-side work. The dataclass fields are swapped for
+    # accepts avals, which lets the stage AOT compiles below START while
+    # the init program is still compiling/executing on the server — all
+    # independent server-side work. The dataclass fields are swapped for
     # the real buffers once init lands (pytree flatten happens at call time).
-    from audioldm_tpu.pipeline.generate import AudioLDMModules
     from audioldm_tpu.config import DDIMConfig
+    from audioldm_tpu.pipeline.generate import AudioLDMModules
 
     aval_u, aval_v, aval_t, aval_voc = jax.eval_shape(
         _init, jax.ShapeDtypeStruct((2,), jnp.uint32)
@@ -101,13 +147,12 @@ def main():
         jax.block_until_ready(params)
         return params, time.perf_counter() - t0
 
-    # split_compile: text+denoise+VAE and the vocoder compile as two XLA
-    # programs — compile time is roughly the sum of stages instead of the
-    # superlinear monolithic blowup (740 s driver-observed in round 2);
-    # steady state is identical (one extra async enqueue).
+    # split_compile="fine": text / scan / VAE / vocoder as four XLA programs
+    # — compile time is additive (never the monolithic superlinear blowup)
+    # and the four executable loads overlap (module docstring).
     fn = make_generate_fn(
         modules, num_inference_steps=steps, audio_length_in_s=seconds,
-        guidance_scale=guidance, dtype=jnp.bfloat16, split_compile=True,
+        guidance_scale=guidance, dtype=jnp.bfloat16, split_compile="fine",
     )
 
     ids = jnp.full((1, 512), 5, jnp.int32).at[:, 0].set(0)
@@ -121,15 +166,17 @@ def main():
         # backend block_until_ready returns before execution finishes
         return jax.device_get(wav[0, :8])
 
-    # compile + warmup: AOT-compile the two stage programs in parallel
+    # compile + warmup: AOT-compile the four stage programs in parallel
     # threads (remote compiles overlap), with the INIT program's compile +
-    # execution overlapped as a third concurrent job — precompile lowers
-    # from the aval bundle, so it never waits on real buffers.
+    # execution overlapped as a concurrent job — precompile lowers from the
+    # aval bundle, so it never waits on real buffers. warm_stages() then
+    # executes all four programs at once, overlapping the one-time
+    # executable loads (the historic 68-578 s first-exec spread, PERF.md).
     # AUDIOLDM_BENCH_AOT=0 keeps the serial lazy-jit path for A/B.
     from concurrent.futures import ThreadPoolExecutor
 
     t_all = time.perf_counter()
-    stages = {}
+    stages, warm, program_mb = {}, {}, {}
     if os.environ.get("AUDIOLDM_BENCH_AOT") != "0":
         with ThreadPoolExecutor(2) as ex:
             f_init = ex.submit(_run_init)
@@ -140,47 +187,39 @@ def main():
             # (advisor round-3 finding: unsynchronized cross-thread mutation)
             stages = f_pre.result() or {}
             modules.unet, modules.vae, modules.text_encoder, modules.vocoder = params
+        print(f"# init: {init_s:.1f}s (overlapped with stage compiles)", file=sys.stderr)
+        for k, v in stages.items():
+            print(f"# {k}: {v:.1f}s (overlapped)", file=sys.stderr)
+        # per-stage generated-code sizes: the bytes whose one-time load
+        # dominates cold start (cheap — no serialization round-trip)
+        st = fn.stage_fns()
+        if st is not None and len(st) == 4:
+            for name, c in zip(("text", "scan", "vae", "voc"), st):
+                try:
+                    program_mb[name] = round(
+                        c.memory_analysis().generated_code_size_in_bytes / 1e6, 1)
+                except Exception:  # noqa: BLE001 — receipt only
+                    pass
+            print(f"# program code MB: {program_mb}", file=sys.stderr)
+        t_first = time.perf_counter()
+        warm = fn.warm_stages() or {}
+        first_run_s = time.perf_counter() - t_first
+        for k, v in sorted(warm.items()):
+            print(f"# {k}: {v:.1f}s (concurrent)", file=sys.stderr)
+        if tunnel.get("tunnel_mbps") and program_mb:
+            pred = sum(program_mb.values()) / tunnel["tunnel_mbps"]
+            print(f"# load prediction: {sum(program_mb.values()):.0f} MB at "
+                  f"{tunnel['tunnel_mbps']} MB/s = {pred:.0f}s serial / "
+                  f"{max(program_mb.values()) / tunnel['tunnel_mbps']:.0f}s "
+                  f"concurrent-ideal vs observed {first_run_s:.0f}s wall",
+                  file=sys.stderr)
     else:
         (modules.unet, modules.vae, modules.text_encoder, modules.vocoder), init_s = _run_init()
-    print(f"# init: {init_s:.1f}s (overlapped with stage compiles)", file=sys.stderr)
-    for k, v in stages.items():
-        print(f"# {k}: {v:.1f}s (overlapped)", file=sys.stderr)
-    # first-execution receipt: run-1 receipts showed the stage compiles are
-    # NOT the cold-start bottleneck (47+25 s overlapped) — the bulk of the
-    # 287 s window was the FIRST EXECUTION of the compiled programs on the
-    # tunnel backend. Track it separately, split per stage, so the variance
-    # has an address (mel-exec vs voc-exec).
-    t_first = time.perf_counter()
-    first_mel_s = first_voc_s = None
-    st = fn.stage_fns() if hasattr(fn, "stage_fns") else None
-    if st is not None:
-        c_mel, c_voc = st
-        if os.environ.get("AUDIOLDM_BENCH_EXECSIZE") == "1":
-            # serialized-executable sizes: tests the hypothesis that the
-            # first-execution cost is the executable shipping up the tunnel
-            # (~0.3-0.4 MB/s measured for persistent-cache uploads)
-            try:
-                from jax.experimental.serialize_executable import serialize
-                for name, c in (("mel", c_mel), ("voc", c_voc)):
-                    payload = serialize(c)[0]
-                    print(f"# {name} serialized executable: "
-                          f"{len(payload) / 1e6:.1f} MB", file=sys.stderr)
-            except Exception as e:  # noqa: BLE001 — receipt only
-                print(f"# execsize probe failed: {e}", file=sys.stderr)
-        t0 = time.perf_counter()
-        mel = c_mel(modules, ids, mask, u_ids, u_mask, jax.random.PRNGKey(0))
-        jax.device_get(mel[0, :1, 0, 0])
-        first_mel_s = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        jax.device_get(c_voc(modules, mel)[0, :8])
-        first_voc_s = time.perf_counter() - t0
-        print(f"# first mel exec: {first_mel_s:.1f}s, first voc exec: {first_voc_s:.1f}s",
-              file=sys.stderr)
-    else:
+        t_first = time.perf_counter()
         run(0)
-    first_run_s = time.perf_counter() - t_first
+        first_run_s = time.perf_counter() - t_first
     compile_s = time.perf_counter() - t_all
-    print(f"# first run: {first_run_s:.1f}s", file=sys.stderr)
+    print(f"# first execs (concurrent warm): {first_run_s:.1f}s", file=sys.stderr)
     print(f"# compile+warmup: {compile_s:.1f}s", file=sys.stderr)
     run(1)
 
@@ -193,48 +232,97 @@ def main():
     # secondary fast-path metrics (VERDICT round-3 #8): DPM-Solver++ at 25
     # steps, LCM at 4 steps, and 50-step DDIM with limited-interval guidance
     # (0.05, 0.65) — tracked in the bench of record so regressions in the
-    # fast paths are caught round-over-round. They share ONE extra vocoder
-    # program; failures degrade to null, never kill the headline.
-    # AUDIOLDM_BENCH_FAST=1 skips them (headline-only run).
+    # fast paths are caught round-over-round. With the fine split they are
+    # SCAN-ONLY programs (text/VAE/vocoder executables are reused from the
+    # headline), and the three compiles run in parallel threads after the
+    # headline's timed window (VERDICT round-4 #6 — the former serial tail
+    # cost 113-135 s EACH). Failures degrade to null, never kill the
+    # headline. AUDIOLDM_BENCH_FAST=1 skips them (headline-only run).
     secondary = {"dpmpp25_s": None, "lcm4_s": None, "gi50_s": None}
     if os.environ.get("AUDIOLDM_BENCH_FAST") != "1":
-        from audioldm_tpu.pipeline.generate import generate_mel, vocode
+        try:
+            from audioldm_tpu.pipeline.generate import denoise, init_noise, vocode
 
-        voc_samples = int(seconds * modules.vocoder_cfg.sampling_rate)
+            st = fn.stage_fns()
+            if st is not None and len(st) == 4:
+                c_text, _, c_vae, c_voc = st
+                fn_text_c = lambda mods, *a: c_text(mods, *a)  # noqa: E731
+                fn_vae_c = lambda mods, lat: c_vae(mods, lat)  # noqa: E731
+                fn_voc_c = lambda mods, mel: c_voc(mods, mel)  # noqa: E731
+            else:  # lazy A/B path: plain jits (compile on first use)
+                from audioldm_tpu.pipeline.generate import decode_latents, encode_stage
 
-        @jax.jit
-        def _voc2(mods, mel):
-            return vocode(mods, mel, voc_samples)
+                voc_samples = int(seconds * modules.vocoder_cfg.sampling_rate)
+                fn_text_c = jax.jit(lambda mods, *a: encode_stage(mods, *a))
+                fn_vae_c = jax.jit(lambda mods, lat: decode_latents(mods, lat, jnp.bfloat16))
+                fn_voc_c = jax.jit(lambda mods, mel: vocode(mods, mel, voc_samples))
 
-        def _mk(n, sched, gi=None):
-            @jax.jit
-            def _mel(mods, i, m, ui, um, rng):
-                return generate_mel(mods, i, m, ui, um, rng, n, seconds,
-                                    guidance, dtype=jnp.bfloat16, scheduler=sched,
-                                    guidance_interval=gi)
-            return _mel
+            def _mk_scan(n, sched, gi=None):
+                @jax.jit
+                def _scan(mods, cond, uncond, rng):
+                    latents, rng2 = init_noise(mods, rng, cond.shape[0], seconds)
+                    return denoise(mods, latents, cond, uncond, n, guidance,
+                                   dtype=jnp.bfloat16, rng=rng2, scheduler=sched,
+                                   guidance_interval=gi)
+                return _scan
 
-        for key, n, sched in (("dpmpp25_s", 25, "dpm++"), ("lcm4_s", 4, "lcm"),
-                              ("gi50_s", 50, "ddim")):
-            try:
-                mel_fn = _mk(n, sched, gi=(0.05, 0.65) if key == "gi50_s" else None)
+            specs = {"dpmpp25_s": (25, "dpm++", None), "lcm4_s": (4, "lcm", None),
+                     "gi50_s": (50, "ddim", (0.05, 0.65))}
+            # compile the three scan programs CONCURRENTLY (server-side work
+            # overlaps; loads overlap at the warm execs below)
+            scans = {k: _mk_scan(n, s, gi) for k, (n, s, gi) in specs.items()}
+            cond, uncond = fn_text_c(modules, ids, mask, u_ids, u_mask)
+            rng0 = jax.random.PRNGKey(0)
 
-                def run2(seed):
-                    wav = _voc2(modules, mel_fn(modules, ids, mask, u_ids, u_mask,
-                                                jax.random.PRNGKey(seed)))
+            def _compile_one(k):
+                t0 = time.perf_counter()
+                c = scans[k].lower(modules, cond, uncond, rng0).compile()
+                return c, time.perf_counter() - t0
+
+            t_sec = time.perf_counter()
+            with ThreadPoolExecutor(3) as ex:
+                futs = {k: ex.submit(_compile_one, k) for k in specs}
+                compiled = {}
+                for k, f in futs.items():
+                    try:
+                        compiled[k], c_s = f.result()
+                        print(f"# {k} compile: {c_s:.1f}s (overlapped)", file=sys.stderr)
+                    except Exception as e:  # noqa: BLE001
+                        print(f"# {k} compile FAILED: {type(e).__name__}: {e}", file=sys.stderr)
+
+                # warm execs (= loads) also concurrent
+                def _warm_one(k):
+                    t0 = time.perf_counter()
+                    jax.device_get(compiled[k](modules, cond, uncond, rng0))
+                    return time.perf_counter() - t0
+
+                wfuts = {k: ex.submit(_warm_one, k) for k in compiled}
+                for k, f in wfuts.items():
+                    try:
+                        print(f"# {k} first exec: {f.result():.1f}s (concurrent)", file=sys.stderr)
+                    except Exception as e:  # noqa: BLE001
+                        compiled.pop(k, None)
+                        print(f"# {k} first exec FAILED: {type(e).__name__}: {e}", file=sys.stderr)
+            print(f"# secondary compile+warm total: {time.perf_counter() - t_sec:.1f}s",
+                  file=sys.stderr)
+
+            for k, c in compiled.items():
+                def run2(seed, c=c):
+                    co, un = fn_text_c(modules, ids, mask, u_ids, u_mask)
+                    wav = fn_voc_c(modules, fn_vae_c(modules, c(modules, co, un,
+                                                                jax.random.PRNGKey(seed))))
                     return jax.device_get(wav[0, :8])
 
-                tc = time.perf_counter()
-                run2(0)
-                print(f"# {key} compile+warmup: {time.perf_counter() - tc:.1f}s",
-                      file=sys.stderr)
-                run2(1)
-                t0 = time.perf_counter()
-                for i in range(iters):
-                    run2(2 + i)
-                secondary[key] = round((time.perf_counter() - t0) / iters, 4)
-            except Exception as e:  # noqa: BLE001 — secondary must not kill headline
-                print(f"# {key} FAILED: {type(e).__name__}: {e}", file=sys.stderr)
+                try:
+                    run2(1)
+                    t0 = time.perf_counter()
+                    for i in range(iters):
+                        run2(2 + i)
+                    secondary[k] = round((time.perf_counter() - t0) / iters, 4)
+                except Exception as e:  # noqa: BLE001 — must not kill headline
+                    print(f"# {k} FAILED: {type(e).__name__}: {e}", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001 — secondary block is best-effort
+            print(f"# secondary block FAILED: {type(e).__name__}: {e}", file=sys.stderr)
 
     # roofline accounting (analytic matmul-class FLOPs; utils/flops.py is
     # cross-checked against XLA cost_analysis in tests/test_flops.py)
@@ -255,12 +343,15 @@ def main():
                 "padded_peak_frac": round(fl.mfu(total.padded, dt), 4),
                 "init_s": round(init_s, 1),
                 "compile_s": round(compile_s, 1),
-                # per-stage compile receipts (threads overlap; VERDICT r3 #1)
-                "mel_compile_s": round(stages["mel_compile_s"], 1) if "mel_compile_s" in stages else None,
-                "voc_compile_s": round(stages["voc_compile_s"], 1) if "voc_compile_s" in stages else None,
+                # per-stage compile + first-exec (=executable load) receipts;
+                # all four compiles overlap, all four loads overlap
+                **{k: round(v, 1) for k, v in stages.items()},
+                **{k: round(v, 1) for k, v in warm.items()},
+                **{f"program_mb_{k}": v for k, v in program_mb.items()},
+                # transport probe: decides load-bound vs our-side from the
+                # record alone (VERDICT round-4 #2)
+                **tunnel,
                 "first_run_s": round(first_run_s, 1),
-                "first_mel_exec_s": None if first_mel_s is None else round(first_mel_s, 1),
-                "first_voc_exec_s": None if first_voc_s is None else round(first_voc_s, 1),
                 # few-step samplers (NOT the headline; 50-step DDIM is)
                 "ddim50_s": round(dt, 4),
                 **secondary,

@@ -551,3 +551,60 @@ def test_batch_rng_leaves_prngkey_family(engine):
             assert tuple(np.asarray(row0).tolist()) not in seeded_row0
     finally:
         mb.close()
+
+
+def test_geometry_allowlist(engine):
+    """With a geometry allowlist, submit rejects any GenParams whose
+    compile-key tuple is not listed (VERDICT round-4 #5: a stray request
+    must not trigger a minutes-long serve-path compile or an HBM-OOM
+    worker crash); negative_prompt is a grouping field, not a compile key,
+    so it rides an allowed geometry."""
+    mb = Microbatcher(engine, max_batch=2, max_delay_ms=30.0, geometries=[PARAMS])
+    try:
+        # allowed geometry serves normally
+        wav = mb.submit("hip hop beat", params=PARAMS).result(timeout=120)
+        assert wav.shape == (160,)
+        # same geometry + negative prompt: still allowed (grouping field)
+        import dataclasses
+        neg = dataclasses.replace(PARAMS, negative_prompt="noise")
+        assert mb.submit("beat", params=neg).result(timeout=120).shape == (160,)
+        # different steps / seconds / scheduler: all rejected at submit
+        for bad in (
+            dataclasses.replace(PARAMS, num_inference_steps=3),
+            dataclasses.replace(PARAMS, audio_length_in_s=30.0),
+            dataclasses.replace(PARAMS, scheduler="dpm++"),
+            dataclasses.replace(PARAMS, window_seconds=5.0),
+            dataclasses.replace(PARAMS, guidance_interval=(0.1, 0.5)),
+        ):
+            with pytest.raises(ValueError, match="allowlist"):
+                mb.submit("beat", params=bad)
+    finally:
+        mb.close()
+
+
+def test_http_geometry_allowlist(engine):
+    """HTTP surface: a request outside the allowlist gets a 400 with the
+    allowed geometries in the error, never a 500 or a compile."""
+    mb = Microbatcher(engine, max_batch=2, max_delay_ms=30.0, geometries=[PARAMS])
+    srv = make_server(mb, sample_rate=16000, port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        code, resp = _post(base + "/v1/generate", {
+            "prompt": "hip hop beat", "steps": 2, "seconds": 0.01, "guidance": 2.0,
+        })
+        assert code == 200
+        code, resp = _post(base + "/v1/generate", {
+            "prompt": "hip hop beat", "steps": 50, "seconds": 120.0,
+        })
+        assert code == 400 and "allowlist" in resp["error"]
+        code, resp = _post(base + "/v1/generate", {
+            "prompt": "hip hop beat", "steps": 2, "seconds": 0.01, "guidance": 2.0,
+            "scheduler": "dpm++",
+        })
+        assert code == 400 and "allowlist" in resp["error"]
+    finally:
+        srv.shutdown()
+        srv.server_close()
+        mb.close()

@@ -429,3 +429,63 @@ def test_guidance_interval_validation(modules):
     with pytest.raises(ValueError, match="windowed"):
         _denoise(modules, lat, cond, unc, 2, 2.5, window_frames=2,
                  window_stride=1, guidance_interval=(0.1, 0.5))
+
+
+@pytest.mark.quick
+def test_fine_split_matches_monolithic(modules):
+    """make_generate_fn(split_compile="fine") runs text / scan / VAE-decode /
+    vocoder as FOUR XLA programs (cold-start executable loads overlap on
+    remote backends, VERDICT round-4 #1) — must be bit-equivalent to both
+    the 2-way split and the monolithic path at the exact same boundaries."""
+    ids = jnp.full((1, 6), 5, jnp.int32).at[:, 0].set(0)
+    mask = jnp.ones((1, 6), jnp.int32)
+    u_ids = jnp.full((1, 6), 1, jnp.int32).at[:, 0].set(0)
+    u_mask = jnp.zeros((1, 6), jnp.int32).at[:, 0].set(1)
+    kw = dict(num_inference_steps=2, audio_length_in_s=0.01,
+              guidance_scale=2.0, dtype=jnp.float32)
+    f_fine = make_generate_fn(modules, split_compile="fine", **kw)
+    f_split = make_generate_fn(modules, split_compile=True, **kw)
+    a = np.asarray(f_fine(ids, mask, u_ids, u_mask, jax.random.PRNGKey(3)))
+    b = np.asarray(f_split(ids, mask, u_ids, u_mask, jax.random.PRNGKey(3)))
+    np.testing.assert_allclose(a, b, atol=1e-6)
+
+    # fine split composes with the non-default samplers and the
+    # limited-interval CFG (each is a scan-program-only change)
+    for extra in (dict(scheduler="dpm++"), dict(guidance_interval=(0.1, 0.9)),
+                  dict(window_seconds=0.005, window_overlap=0.5)):
+        f1 = make_generate_fn(modules, split_compile="fine", **kw, **extra)
+        f2 = make_generate_fn(modules, split_compile=True, **kw, **extra)
+        x = np.asarray(f1(ids, mask, u_ids, u_mask, jax.random.PRNGKey(4)))
+        y = np.asarray(f2(ids, mask, u_ids, u_mask, jax.random.PRNGKey(4)))
+        np.testing.assert_allclose(x, y, atol=1e-6)
+
+
+@pytest.mark.quick
+def test_fine_precompile_and_warm_stages(modules):
+    """The fine split's precompile returns four per-stage compile receipts,
+    warm_stages forces all four loads concurrently (zero inputs at the
+    precompiled avals) and returns per-stage first-exec receipts, and the
+    AOT chain's output is bit-identical to the lazy fine path."""
+    ids = jnp.full((1, 6), 5, jnp.int32).at[:, 0].set(0)
+    mask = jnp.ones((1, 6), jnp.int32)
+    u_ids = jnp.full((1, 6), 1, jnp.int32).at[:, 0].set(0)
+    u_mask = jnp.zeros((1, 6), jnp.int32).at[:, 0].set(1)
+    kw = dict(num_inference_steps=2, audio_length_in_s=0.01,
+              guidance_scale=2.0, dtype=jnp.float32)
+    f_lazy = make_generate_fn(modules, split_compile="fine", **kw)
+    f_aot = make_generate_fn(modules, split_compile="fine", **kw)
+    assert f_aot.warm_stages() is None  # before precompile
+    stages = f_aot.precompile(ids, mask, u_ids, u_mask, jax.random.PRNGKey(3))
+    assert set(stages) == {"text_compile_s", "scan_compile_s", "vae_compile_s", "voc_compile_s"}
+    warm = f_aot.warm_stages()
+    assert set(warm) == {"text_load_s", "scan_load_s", "vae_load_s", "voc_load_s"}
+    assert f_aot.stage_fns() is not None and len(f_aot.stage_fns()) == 4
+    a = np.asarray(f_aot(ids, mask, u_ids, u_mask, jax.random.PRNGKey(3)))
+    b = np.asarray(f_lazy(ids, mask, u_ids, u_mask, jax.random.PRNGKey(3)))
+    np.testing.assert_array_equal(a, b)
+    # other arg shapes fall back to the lazy jit path unharmed
+    ids2, mask2, u2, um2 = _prompts(b=2)
+    np.testing.assert_array_equal(
+        np.asarray(f_aot(ids2, mask2, u2, um2, jax.random.PRNGKey(5))),
+        np.asarray(f_lazy(ids2, mask2, u2, um2, jax.random.PRNGKey(5))),
+    )
