@@ -321,6 +321,46 @@ def main():
                     secondary[k] = round((time.perf_counter() - t0) / iters, 4)
                 except Exception as e:  # noqa: BLE001 — must not kill headline
                     print(f"# {k} FAILED: {type(e).__name__}: {e}", file=sys.stderr)
+
+            # proximity gauges (VERDICT round-4 #4): log-mel correlation of
+            # each fast path's full waveform vs the 50-step DDIM output at
+            # the same seed and weights. PROXIMITY, not quality
+            # (eval/proximity.py docstring) — a tripwire so a change that
+            # silently wrecks a fast path's output moves a recorded number
+            # even when its latency stays flat. Two guards learned the hard
+            # way: the random vocoder's gain must be CALIBRATED first (the
+            # uncalibrated fastinit vocoder rails tanh and every path reads
+            # exactly 1.0 — vacuous), and `prox_mel_anchor` (a DIFFERENT-
+            # seed ddim50) records what an UNRELATED output scores, so the
+            # per-path numbers have a floor to be read against. The
+            # CLAP-embedding cosine version (the reference's scoring space)
+            # is the once-per-round tools/quality_proximity.py run recorded
+            # in PERF.md. Costs one extra generation per path, no compiles.
+            from audioldm_tpu.eval.proximity import calibrate_vocoder_gain, mel_correlation
+
+            co, un = fn_text_c(modules, ids, mask, u_ids, u_mask)
+            mel_probe = fn_vae_c(modules, next(iter(compiled.values()))(
+                modules, co, un, jax.random.PRNGKey(100)))
+            gain = calibrate_vocoder_gain(
+                modules, fn_voc_c, jax.ShapeDtypeStruct(mel_probe.shape, mel_probe.dtype))
+            print(f"# proximity vocoder gain: x{gain:.2g}", file=sys.stderr)
+
+            def _gen(c, seed):
+                w = fn_voc_c(modules, fn_vae_c(modules, c(
+                    modules, co, un, jax.random.PRNGKey(seed))))
+                return np.asarray(jax.device_get(w))[0].astype(np.float32)
+
+            wav_ref = np.asarray(jax.device_get(
+                fn(ids, mask, u_ids, u_mask, jax.random.PRNGKey(100))))[0].astype(np.float32)
+            for k, c in compiled.items():
+                secondary["prox_mel_" + k[:-2]] = round(mel_correlation(wav_ref, _gen(c, 100)), 4)
+            # the anchor: a true ddim50 at a DIFFERENT seed (headline fn)
+            wav_anchor = np.asarray(jax.device_get(
+                fn(ids, mask, u_ids, u_mask, jax.random.PRNGKey(101))))[0].astype(np.float32)
+            secondary["prox_mel_anchor"] = round(mel_correlation(wav_ref, wav_anchor), 4)
+            print(f"# proximity (mel corr vs ddim50, max|w| {np.abs(wav_ref).max():.3f}): "
+                  f"{ {k: v for k, v in secondary.items() if k.startswith('prox')} }",
+                  file=sys.stderr)
         except Exception as e:  # noqa: BLE001 — secondary block is best-effort
             print(f"# secondary block FAILED: {type(e).__name__}: {e}", file=sys.stderr)
 

@@ -124,7 +124,10 @@ def test_merge_equals_unmerged_apply(rng):
 
 @pytest.mark.quick
 def test_peft_export_import_roundtrip():
-    params = unet_lib.init_unet(jax.random.PRNGKey(0), TINY_UNET)
+    # init_lora only reads kernel SHAPES from the base tree, so an aval tree
+    # skips the ~20 s tiny-UNet init compile (quick-tier budget, VERDICT r4 #7)
+    params = jax.eval_shape(lambda k: unet_lib.init_unet(k, TINY_UNET),
+                            jax.random.PRNGKey(0))
     cfg = LoRAConfig(r=2, lora_alpha=2)
     lora = init_lora(jax.random.PRNGKey(1), params, cfg)
     sd = export_peft_state_dict(lora)

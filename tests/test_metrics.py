@@ -106,3 +106,30 @@ def test_median_pairwise_subsample_branch(rng):
     # large subsample count falls through to the exact branch
     exact = float(median_pairwise_distance(jnp.asarray(x), subsample=10**6))
     assert exact == full
+
+
+@pytest.mark.quick
+def test_proximity_gauges():
+    """eval/proximity.py (VERDICT round-4 #4): mel correlation is exactly 1
+    on identical audio, scale-invariant, and drops for unrelated audio;
+    embedding cosine behaves as a cosine. PROXIMITY gauges, not quality —
+    see the module docstring."""
+    from audioldm_tpu.eval.proximity import embedding_cosine, log_mel_host, mel_correlation
+
+    rng = np.random.default_rng(0)
+    t = np.arange(16000) / 16000.0
+    a = (0.3 * np.sin(2 * np.pi * 440 * t) + 0.02 * rng.standard_normal(t.shape)).astype(np.float32)
+    b = (0.3 * np.sin(2 * np.pi * 1337 * t) + 0.02 * rng.standard_normal(t.shape)).astype(np.float32)
+    assert mel_correlation(a, a) == pytest.approx(1.0, abs=1e-6)
+    assert mel_correlation(a, 0.1 * a) > 0.98  # log-mel gain shift, same structure
+    assert mel_correlation(a, b) < 0.6
+    # length mismatch trims to the common prefix
+    assert mel_correlation(a, a[:8000]) == pytest.approx(1.0, abs=1e-6)
+    assert mel_correlation(np.zeros(4000, np.float32), np.zeros(4000, np.float32)) == 0.0
+
+    assert log_mel_host(a).shape[1] == 64
+    v = rng.standard_normal(512)
+    w = rng.standard_normal(512)
+    assert embedding_cosine(v, v) == pytest.approx(1.0)
+    assert embedding_cosine(v, -v) == pytest.approx(-1.0)
+    assert abs(embedding_cosine(v, w)) < 0.2

@@ -449,8 +449,18 @@ def test_fine_split_matches_monolithic(modules):
     b = np.asarray(f_split(ids, mask, u_ids, u_mask, jax.random.PRNGKey(3)))
     np.testing.assert_allclose(a, b, atol=1e-6)
 
-    # fine split composes with the non-default samplers and the
-    # limited-interval CFG (each is a scan-program-only change)
+
+@pytest.mark.slow
+def test_fine_split_sampler_variants(modules):
+    """Fine split composes with the non-default samplers and the
+    limited-interval CFG (each a scan-program-only change) — slow tier:
+    each variant pair costs two full tiny-pipeline compiles."""
+    ids = jnp.full((1, 6), 5, jnp.int32).at[:, 0].set(0)
+    mask = jnp.ones((1, 6), jnp.int32)
+    u_ids = jnp.full((1, 6), 1, jnp.int32).at[:, 0].set(0)
+    u_mask = jnp.zeros((1, 6), jnp.int32).at[:, 0].set(1)
+    kw = dict(num_inference_steps=2, audio_length_in_s=0.01,
+              guidance_scale=2.0, dtype=jnp.float32)
     for extra in (dict(scheduler="dpm++"), dict(guidance_interval=(0.1, 0.9)),
                   dict(window_seconds=0.005, window_overlap=0.5)):
         f1 = make_generate_fn(modules, split_compile="fine", **kw, **extra)
@@ -460,7 +470,7 @@ def test_fine_split_matches_monolithic(modules):
         np.testing.assert_allclose(x, y, atol=1e-6)
 
 
-@pytest.mark.quick
+@pytest.mark.slow
 def test_fine_precompile_and_warm_stages(modules):
     """The fine split's precompile returns four per-stage compile receipts,
     warm_stages forces all four loads concurrently (zero inputs at the

@@ -21,7 +21,10 @@ import pytest
 
 from audioldm_tpu.utils.logging import MetricLogger
 
-pytestmark = pytest.mark.quick
+# slow tier: streams a REAL Trainer.fit loop through the tracker (~18 s on
+# this 1-core box — VERDICT round-4 #7 quick-tier budget); the cheap
+# tracker-surface coverage stays quick in tests/test_logging.py
+pytestmark = pytest.mark.slow
 
 
 class _FakeAudio:
