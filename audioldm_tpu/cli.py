@@ -708,19 +708,38 @@ def cmd_serve(args):
                         guidance_scale=args.guidance, scheduler=args.scheduler,
                     ))
                     continue
+                # only fields PRESENT in the JSON are passed, so the
+                # GenParams dataclass is the single source of defaults —
+                # same contract as the HTTP handler's request parse
+                # (daemon.py _generate); a hardcoded copy here would
+                # silently 400 requests when one copy drifts
+                _conv = {"steps": ("num_inference_steps", int),
+                         "seconds": ("audio_length_in_s", float),
+                         "guidance": ("guidance_scale", float),
+                         "scheduler": ("scheduler", str),
+                         "window_seconds": ("window_seconds",
+                                            lambda v: None if v is None else float(v)),
+                         "window_overlap": ("window_overlap", float)}
                 try:
                     d = json.loads(spec)
+                    if not isinstance(d, dict):
+                        raise ValueError("not a JSON object")
+                    unknown = set(d) - set(_conv) - {"guidance_interval"}
+                    if unknown:
+                        raise ValueError(f"unknown fields {sorted(unknown)}")
+                    kw = {_conv[k][0]: _conv[k][1](v) for k, v in d.items()
+                          if k != "guidance_interval"}
                     gi = d.get("guidance_interval")
-                    geometries.append(GenParams(
-                        num_inference_steps=int(d.get("steps", 50)),
-                        audio_length_in_s=float(d.get("seconds", 10.0)),
-                        guidance_scale=float(d.get("guidance", 2.5)),
-                        scheduler=str(d.get("scheduler", "ddim")),
-                        window_seconds=None if d.get("window_seconds") is None
-                        else float(d["window_seconds"]),
-                        window_overlap=float(d.get("window_overlap", 0.5)),
-                        guidance_interval=None if gi is None else tuple(float(x) for x in gi),
-                    ))
+                    if gi is not None:
+                        # same gate as the HTTP handler: a malformed entry
+                        # here would be dead config no request can match
+                        if not isinstance(gi, (list, tuple)) or len(gi) != 2:
+                            raise ValueError("guidance_interval expects [lo, hi]")
+                        lo, hi = (float(x) for x in gi)
+                        if not 0.0 <= lo <= hi <= 1.0:
+                            raise ValueError("guidance_interval needs 0 <= lo <= hi <= 1")
+                        kw["guidance_interval"] = (lo, hi)
+                    geometries.append(GenParams(**kw))
                 except (ValueError, TypeError, json.JSONDecodeError) as e:
                     raise SystemExit(f"--geometry expects 'default' or a JSON object "
                                      f"(steps/seconds/guidance/scheduler/window_seconds/"

@@ -198,6 +198,37 @@ def window_params(
     return window_frames, window_stride
 
 
+def make_scan_fn(
+    num_inference_steps: int,
+    audio_length_in_s: float,
+    guidance_scale: float,
+    dtype=jnp.bfloat16,
+    scheduler: str = "ddim",
+    guidance_interval: Optional[tuple] = None,
+    window_seconds: Optional[float] = None,
+    window_overlap: float = 0.5,
+):
+    """One jitted denoise-scan program ``(mods, cond, uncond, rng) ->
+    latents``: init latents + (optional) MultiDiffusion window geometry +
+    the sampler scan. The SINGLE builder behind every scan-only program —
+    ``make_generate_fn(split_compile="fine")``'s scan stage, bench.py's
+    secondary samplers, and tools/quality_proximity.py's paths — so their
+    compiled programs are the same object by construction (round-5 review:
+    two hand-rolled copies had started to drift)."""
+
+    @jax.jit
+    def _scan(mods, cond, uncond, rng):
+        latents, rng2 = init_noise(mods, rng, cond.shape[0], audio_length_in_s)
+        wf, ws = window_params(mods, window_seconds, window_overlap)
+        return denoise(
+            mods, latents, cond, uncond, num_inference_steps, guidance_scale,
+            dtype=dtype, rng=rng2, scheduler=scheduler,
+            window_frames=wf, window_stride=ws, guidance_interval=guidance_interval,
+        )
+
+    return _scan
+
+
 def latent_shape(modules: AudioLDMModules, batch: int, audio_length_in_s: float) -> tuple[int, int, int, int]:
     """NHWC latent geometry for a clip length. Mel frames = seconds *
     sr / hop; rounded up to a multiple of the VAE downsampling factor."""
@@ -689,15 +720,11 @@ def make_generate_fn(
         def fn_text(mods, input_ids, attention_mask, uncond_ids, uncond_mask):
             return encode_stage(mods, input_ids, attention_mask, uncond_ids, uncond_mask)
 
-        @jax.jit
-        def fn_scan(mods, cond, uncond, rng):
-            latents, rng2 = init_noise(mods, rng, cond.shape[0], audio_length_in_s)
-            wf, ws = window_params(mods, window_seconds, window_overlap)
-            return denoise(
-                mods, latents, cond, uncond, num_inference_steps, guidance_scale,
-                dtype=dtype, rng=rng2, scheduler=scheduler,
-                window_frames=wf, window_stride=ws, guidance_interval=guidance_interval,
-            )
+        fn_scan = make_scan_fn(
+            num_inference_steps, audio_length_in_s, guidance_scale, dtype=dtype,
+            scheduler=scheduler, guidance_interval=guidance_interval,
+            window_seconds=window_seconds, window_overlap=window_overlap,
+        )
 
         @jax.jit
         def fn_vae(mods, latents):

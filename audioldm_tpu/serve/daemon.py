@@ -77,11 +77,16 @@ class GenParams:
         """The compile-key fields — everything that selects a distinct XLA
         program. ``negative_prompt`` is a batch-grouping field only (one
         shared uncond row per batch), so it is excluded: any negative
-        prompt rides an allowed geometry."""
+        prompt rides an allowed geometry. ``window_overlap`` is normalized
+        to None when windowing is off — the engine ignores it then
+        (engine passes window=None), so a request differing only in a
+        dangling overlap selects the SAME compiled program and must match
+        the same allowlist entry."""
         return (
             self.num_inference_steps, self.audio_length_in_s,
             self.guidance_scale, self.scheduler, self.window_seconds,
-            self.window_overlap, self.guidance_interval,
+            self.window_overlap if self.window_seconds is not None else None,
+            self.guidance_interval,
         )
 
 
@@ -162,10 +167,15 @@ class Microbatcher:
         ``[samples]``. Unknown adapters and disallowed geometries fail fast
         here (not mid-batch)."""
         if self.geometries is not None and params.geometry() not in self.geometries:
+            # key=repr: the tuples mix None with floats/tuples in the same
+            # position (e.g. guidance_interval None vs (0.05, 0.65)), so a
+            # plain sorted() would TypeError — turning this 400 into a 500
+            # exactly in multi-geometry configs (round-5 review finding)
             raise ValueError(
                 f"request geometry {params.geometry()} is not in the served "
                 f"allowlist (steps, seconds, guidance, scheduler, window_seconds, "
-                f"window_overlap, guidance_interval); allowed: {sorted(self.geometries)}"
+                f"window_overlap, guidance_interval); allowed: "
+                f"{sorted(self.geometries, key=repr)}"
             )
         fut: Future = Future()
         req = _Pending(prompt, adapter, params, seed, fut, time.monotonic())
@@ -514,15 +524,25 @@ def make_server(
                 if not 0.0 <= lo <= hi <= 1.0:
                     return self._json(400, {"error": "guidance_interval needs 0 <= lo <= hi <= 1"})
                 gi = (lo, hi)
+            # only fields PRESENT in the body are passed, so the GenParams
+            # dataclass is the single source of defaults (the --geometry
+            # CLI parser relies on the same contract — a default drifting
+            # out of sync here would silently 400 allowlisted requests)
+            kw = {}
+            if "steps" in body:
+                kw["num_inference_steps"] = int(body["steps"])
+            if "seconds" in body:
+                kw["audio_length_in_s"] = float(body["seconds"])
+            if "guidance" in body:
+                kw["guidance_scale"] = float(body["guidance"])
+            if "scheduler" in body:
+                kw["scheduler"] = str(body["scheduler"])
+            if "window_overlap" in body:
+                kw["window_overlap"] = float(body["window_overlap"])
             params = GenParams(
-                num_inference_steps=int(body.get("steps", 50)),
-                audio_length_in_s=float(body.get("seconds", 10.0)),
-                guidance_scale=float(body.get("guidance", 2.5)),
-                scheduler=str(body.get("scheduler", "ddim")),
                 negative_prompt=None if neg is None else str(neg),
                 window_seconds=None if ws is None else float(ws),
-                window_overlap=float(body.get("window_overlap", 0.5)),
-                guidance_interval=gi,
+                guidance_interval=gi, **kw,
             )
             seed = body.get("seed")
             t0 = time.monotonic()

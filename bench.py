@@ -241,7 +241,7 @@ def main():
     secondary = {"dpmpp25_s": None, "lcm4_s": None, "gi50_s": None}
     if os.environ.get("AUDIOLDM_BENCH_FAST") != "1":
         try:
-            from audioldm_tpu.pipeline.generate import denoise, init_noise, vocode
+            from audioldm_tpu.pipeline.generate import make_scan_fn, vocode
 
             st = fn.stage_fns()
             if st is not None and len(st) == 4:
@@ -257,20 +257,15 @@ def main():
                 fn_vae_c = jax.jit(lambda mods, lat: decode_latents(mods, lat, jnp.bfloat16))
                 fn_voc_c = jax.jit(lambda mods, mel: vocode(mods, mel, voc_samples))
 
-            def _mk_scan(n, sched, gi=None):
-                @jax.jit
-                def _scan(mods, cond, uncond, rng):
-                    latents, rng2 = init_noise(mods, rng, cond.shape[0], seconds)
-                    return denoise(mods, latents, cond, uncond, n, guidance,
-                                   dtype=jnp.bfloat16, rng=rng2, scheduler=sched,
-                                   guidance_interval=gi)
-                return _scan
-
             specs = {"dpmpp25_s": (25, "dpm++", None), "lcm4_s": (4, "lcm", None),
                      "gi50_s": (50, "ddim", (0.05, 0.65))}
             # compile the three scan programs CONCURRENTLY (server-side work
-            # overlaps; loads overlap at the warm execs below)
-            scans = {k: _mk_scan(n, s, gi) for k, (n, s, gi) in specs.items()}
+            # overlaps; loads overlap at the warm execs below); the builder
+            # is the pipeline's own scan-stage factory, shared with the
+            # fine split and tools/quality_proximity.py
+            scans = {k: make_scan_fn(n, seconds, guidance, dtype=jnp.bfloat16,
+                                     scheduler=s, guidance_interval=gi)
+                     for k, (n, s, gi) in specs.items()}
             cond, uncond = fn_text_c(modules, ids, mask, u_ids, u_mask)
             rng0 = jax.random.PRNGKey(0)
 

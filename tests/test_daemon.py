@@ -568,6 +568,12 @@ def test_geometry_allowlist(engine):
         import dataclasses
         neg = dataclasses.replace(PARAMS, negative_prompt="noise")
         assert mb.submit("beat", params=neg).result(timeout=120).shape == (160,)
+        # a dangling window_overlap with windowing OFF selects the SAME
+        # compiled program (the engine ignores it), so it must match the
+        # allowed geometry (round-5 review finding: geometry() normalizes
+        # the overlap slot to None when window_seconds is None)
+        dangling = dataclasses.replace(PARAMS, window_overlap=0.9)
+        assert mb.submit("beat", params=dangling).result(timeout=120).shape == (160,)
         # different steps / seconds / scheduler: all rejected at submit
         for bad in (
             dataclasses.replace(PARAMS, num_inference_steps=3),
@@ -578,6 +584,35 @@ def test_geometry_allowlist(engine):
         ):
             with pytest.raises(ValueError, match="allowlist"):
                 mb.submit("beat", params=bad)
+    finally:
+        mb.close()
+
+
+def test_geometry_allowlist_mixed_optional_fields():
+    """A multi-entry allowlist whose tuples mix None with floats/tuples in
+    the same slot (ddim50 + guidance-interval — exactly the pair the bench
+    tracks) must still produce the 400-path ValueError on rejection, not a
+    TypeError from sorting heterogeneous tuples (round-5 review finding:
+    plain sorted() raised and the handler turned it into a 500)."""
+    import dataclasses
+
+    from audioldm_tpu.serve.daemon import Microbatcher
+
+    class _NoEngine:  # submit validates the geometry BEFORE touching the engine
+        bank = None
+        composed = {}
+
+        def has_adapter(self, name):
+            return True
+
+    mb = Microbatcher(_NoEngine(), max_batch=2, geometries=[
+        PARAMS,
+        dataclasses.replace(PARAMS, guidance_interval=(0.05, 0.65)),
+        dataclasses.replace(PARAMS, window_seconds=0.005, window_overlap=0.25),
+    ])
+    try:
+        with pytest.raises(ValueError, match="allowlist"):
+            mb.submit("beat", params=dataclasses.replace(PARAMS, num_inference_steps=7))
     finally:
         mb.close()
 

@@ -166,11 +166,18 @@ def test_compose_adapters_exact():
     each adapter with its B pre-scaled by w_i (merge is additive in W)."""
     from audioldm_tpu.lora import compose_adapters
 
-    params = unet_lib.init_unet(jax.random.PRNGKey(0), TINY_UNET)
+    # merge math only needs VALUES, not a faithful init — numpy-fill the
+    # aval tree instead of paying the eager per-leaf UNet init (~20 s on
+    # this 1-core box; quick-tier budget, VERDICT r4 #7)
+    npr = np.random.default_rng(0)
+    params = jax.tree.map(
+        lambda a: jnp.asarray(npr.standard_normal(a.shape), a.dtype),
+        jax.eval_shape(lambda k: unet_lib.init_unet(k, TINY_UNET), jax.random.PRNGKey(0)),
+    )
     cfg1 = LoRAConfig(r=2, lora_alpha=4)  # scale 2, targets (to_q, to_v)
     cfg2 = LoRAConfig(r=3, lora_alpha=3, target_modules=("to_q",))  # scale 1, subset
     mk = lambda key, cfg: jax.tree.map(
-        lambda x: x + 0.05 * jax.random.normal(jax.random.PRNGKey(99), x.shape),
+        lambda x: x + 0.05 * jnp.asarray(npr.standard_normal(x.shape), x.dtype),
         init_lora(jax.random.PRNGKey(key), params, cfg),
     )
     l1, l2 = mk(1, cfg1), mk(2, cfg2)

@@ -71,12 +71,10 @@ def main():
     from audioldm_tpu.ops.resample import resample_np
     from audioldm_tpu.pipeline.generate import (
         decode_latents,
-        denoise,
         encode_stage,
-        init_noise,
+        make_scan_fn,
         random_modules,
         vocode,
-        window_params,
     )
 
     if args.width == "full":
@@ -118,15 +116,10 @@ def main():
     fn_voc = jax.jit(lambda mods, mel: vocode(mods, mel, voc_samples))
 
     def mk_scan(n, sched, gi=None, win=None):
-        wf, ws = window_params(modules, win, 0.5)
-
-        @jax.jit
-        def _scan(mods, cond, uncond, rng):
-            latents, rng2 = init_noise(mods, rng, cond.shape[0], seconds)
-            return denoise(mods, latents, cond, uncond, n, 2.5, dtype=dtype,
-                           rng=rng2, scheduler=sched, window_frames=wf,
-                           window_stride=ws, guidance_interval=gi)
-        return _scan
+        # the pipeline's own scan-stage factory (shared with the fine
+        # split and bench.py — one copy by construction)
+        return make_scan_fn(n, seconds, 2.5, dtype=dtype, scheduler=sched,
+                            guidance_interval=gi, window_seconds=win)
 
     paths = {
         "ddim50": mk_scan(steps, "ddim"),
