@@ -223,11 +223,25 @@ def main():
     print(f"# compile+warmup: {compile_s:.1f}s", file=sys.stderr)
     run(1)
 
+    # median of per-iteration walls, not the mean of one window: each run()
+    # fences on a device fetch, so iterations are serial and individually
+    # timeable — and the tunnel occasionally stalls a single fetch for
+    # seconds (round-5: one dpmpp window recorded 11.9 s/clip vs 0.40 on
+    # the runs before and after). The median keeps one stall from writing
+    # a false headline into the round's record; iter_spread_s exposes it.
     iters = 5
-    t0 = time.perf_counter()
-    for i in range(iters):
-        run(2 + i)
-    dt = (time.perf_counter() - t0) / iters
+
+    def _timed_iters(f, n, seed0):
+        walls = []
+        for i in range(n):
+            t0 = time.perf_counter()
+            f(seed0 + i)
+            walls.append(time.perf_counter() - t0)
+        return sorted(walls)
+
+    walls = _timed_iters(run, iters, 2)
+    dt = walls[len(walls) // 2]
+    iter_spread = walls[-1] - walls[0]
 
     # secondary fast-path metrics (VERDICT round-3 #8): DPM-Solver++ at 25
     # steps, LCM at 4 steps, and 50-step DDIM with limited-interval guidance
@@ -310,10 +324,8 @@ def main():
 
                 try:
                     run2(1)
-                    t0 = time.perf_counter()
-                    for i in range(iters):
-                        run2(2 + i)
-                    secondary[k] = round((time.perf_counter() - t0) / iters, 4)
+                    # median, stall-robust (headline-loop rationale)
+                    secondary[k] = round(_timed_iters(run2, iters, 2)[iters // 2], 4)
                 except Exception as e:  # noqa: BLE001 — must not kill headline
                     print(f"# {k} FAILED: {type(e).__name__}: {e}", file=sys.stderr)
 
@@ -389,6 +401,9 @@ def main():
                 "first_run_s": round(first_run_s, 1),
                 # few-step samplers (NOT the headline; 50-step DDIM is)
                 "ddim50_s": round(dt, 4),
+                # max-min of the 5 headline iteration walls: a transport
+                # stall shows up here instead of polluting the median value
+                "iter_spread_s": round(iter_spread, 4),
                 **secondary,
             }
         )
