@@ -626,8 +626,9 @@ def _add_serve(sub):
                         "'default' = this command's --steps/--seconds/--guidance/"
                         "--scheduler, or a JSON object with any of steps/seconds/"
                         "guidance/scheduler/window_seconds/window_overlap/"
-                        "guidance_interval (missing fields take the request "
-                        "defaults). With at least one --geometry, requests whose "
+                        "guidance_interval (missing fields take this command's "
+                        "flags — the same defaults the daemon fills into bare "
+                        "requests). With at least one --geometry, requests whose "
                         "compile key is not listed get HTTP 400 instead of "
                         "triggering a minutes-long serve-path compile or an "
                         "HBM-OOM probe; without it, any geometry is accepted")
@@ -698,21 +699,29 @@ def cmd_serve(args):
             print("warming up: compiling every bucket's program ...")
             engine.warmup(num_inference_steps=args.steps, audio_length_in_s=args.seconds,
                           guidance_scale=args.guidance, scheduler=args.scheduler)
+        # the daemon's request defaults: fields a client omits are filled
+        # from this GenParams (built from this command's flags), and
+        # `--geometry default` allowlists exactly it — consistent by
+        # construction, so `serve --steps 25 --geometry default` serves
+        # bare requests instead of 400ing them (round-5 review finding)
+        defaults = GenParams(
+            num_inference_steps=args.steps, audio_length_in_s=args.seconds,
+            guidance_scale=args.guidance, scheduler=args.scheduler,
+        )
         geometries = None
         if args.geometry:
+            import dataclasses
+
             geometries = []
             for spec in args.geometry:
                 if spec == "default":
-                    geometries.append(GenParams(
-                        num_inference_steps=args.steps, audio_length_in_s=args.seconds,
-                        guidance_scale=args.guidance, scheduler=args.scheduler,
-                    ))
+                    geometries.append(defaults)
                     continue
-                # only fields PRESENT in the JSON are passed, so the
-                # GenParams dataclass is the single source of defaults —
-                # same contract as the HTTP handler's request parse
-                # (daemon.py _generate); a hardcoded copy here would
-                # silently 400 requests when one copy drifts
+                # only fields PRESENT in the JSON are passed; missing ones
+                # keep the server defaults above — same fill-in contract
+                # as the HTTP handler's request parse (daemon.py
+                # _generate); a hardcoded copy here would silently 400
+                # requests when one copy drifts
                 _conv = {"steps": ("num_inference_steps", int),
                          "seconds": ("audio_length_in_s", float),
                          "guidance": ("guidance_scale", float),
@@ -739,7 +748,7 @@ def cmd_serve(args):
                         if not 0.0 <= lo <= hi <= 1.0:
                             raise ValueError("guidance_interval needs 0 <= lo <= hi <= 1")
                         kw["guidance_interval"] = (lo, hi)
-                    geometries.append(GenParams(**kw))
+                    geometries.append(dataclasses.replace(defaults, **kw))
                 except (ValueError, TypeError, json.JSONDecodeError) as e:
                     raise SystemExit(f"--geometry expects 'default' or a JSON object "
                                      f"(steps/seconds/guidance/scheduler/window_seconds/"
@@ -749,6 +758,7 @@ def cmd_serve(args):
             engine, max_batch=args.max_batch or engine.bucket_sizes[-1],
             max_delay_ms=args.batch_delay_ms, base_seed=args.seed,
             max_adapters=args.max_adapters, geometries=geometries,
+            defaults=defaults,
         )
         server = make_server(batcher, modules.vocoder_cfg.sampling_rate,
                              host=args.host, port=args.port)

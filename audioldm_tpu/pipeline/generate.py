@@ -859,4 +859,9 @@ def make_generate_fn(
     fn.precompile = precompile
     fn.stage_fns = stage_fns
     fn.warm_stages = warm_stages
+    # fine mode's lazy per-stage jits — callers that skip precompile (the
+    # bench's AUDIOLDM_BENCH_AOT=0 A/B path) reuse these instead of
+    # wrapping cache-distinct fresh jits around the same computations,
+    # which would pay three redundant remote compiles (round-5 review)
+    fn.lazy_stages = (fn_text, fn_scan, fn_vae, fn_vocode) if fine else None
     return fn

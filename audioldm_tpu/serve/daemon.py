@@ -42,6 +42,7 @@ import json
 import threading
 import time
 import urllib.parse
+import dataclasses
 from collections import deque
 from concurrent.futures import Future
 from dataclasses import dataclass
@@ -115,11 +116,18 @@ class Microbatcher:
         base_seed: int = 0,
         max_adapters: Optional[int] = None,
         geometries: Optional[list] = None,
+        defaults: Optional[GenParams] = None,
     ):
         self.engine = engine
         self.max_batch = max_batch
         self.max_delay_ms = max_delay_ms
         self.base_seed = base_seed
+        # server-configured generation defaults: the HTTP handler fills
+        # request fields ABSENT from the body from here (not from the
+        # GenParams dataclass defaults), so an operator who serves
+        # non-default flags (`cli serve --steps 25 --geometry default`)
+        # doesn't 400 every bare request (round-5 review finding)
+        self.defaults = defaults if defaults is not None else GenParams()
         # compile-geometry allowlist (VERDICT round-4 #5): every distinct
         # (steps, seconds, scheduler, window, guidance-interval) combination
         # compiles a NEW device program — minutes on the remote-compiler
@@ -131,8 +139,7 @@ class Microbatcher:
         # (offline / trusted callers).
         self.geometries: Optional[frozenset] = (
             None if geometries is None
-            else frozenset(g.geometry() if isinstance(g, GenParams) else tuple(g)
-                           for g in geometries)
+            else frozenset(self._norm_geometry(g) for g in geometries)
         )
         # hot-load capacity policy: loading a NEW adapter past this count
         # (or past the bank's max_capacity) evicts the least-recently-served
@@ -154,6 +161,26 @@ class Microbatcher:
         self._running = True
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
+
+    @staticmethod
+    def _norm_geometry(g) -> tuple:
+        """Allowlist entry -> compile-key tuple. ``GenParams`` entries go
+        through ``.geometry()``; raw tuples get the SAME normalization
+        (dangling ``window_overlap`` -> None when windowing is off) plus a
+        length check — an unnormalized raw entry would be dead config no
+        request's geometry() can ever match (round-5 review finding)."""
+        if isinstance(g, GenParams):
+            return g.geometry()
+        t = tuple(g)
+        want = len(GenParams().geometry())
+        if len(t) != want:
+            raise ValueError(
+                f"geometry entry needs {want} fields (steps, seconds, "
+                f"guidance, scheduler, window_seconds, window_overlap, "
+                f"guidance_interval), got {t!r}")
+        if t[4] is None and t[5] is not None:
+            t = t[:5] + (None,) + t[6:]
+        return t
 
     # -- public API ---------------------------------------------------------
     def submit(
@@ -510,8 +537,6 @@ def make_server(
         def _generate(self, body: dict) -> None:
             if "prompt" not in body:
                 return self._json(400, {"error": "missing 'prompt'"})
-            neg = body.get("negative_prompt")
-            ws = body.get("window_seconds")
             gi = body.get("guidance_interval")
             if gi is not None:
                 # a str is iterable, so "01" would silently pass as (0.0, 1.0)
@@ -524,32 +549,41 @@ def make_server(
                 if not 0.0 <= lo <= hi <= 1.0:
                     return self._json(400, {"error": "guidance_interval needs 0 <= lo <= hi <= 1"})
                 gi = (lo, hi)
-            # only fields PRESENT in the body are passed, so the GenParams
-            # dataclass is the single source of defaults (the --geometry
-            # CLI parser relies on the same contract — a default drifting
-            # out of sync here would silently 400 allowlisted requests)
-            kw = {}
-            if "steps" in body:
-                kw["num_inference_steps"] = int(body["steps"])
-            if "seconds" in body:
-                kw["audio_length_in_s"] = float(body["seconds"])
-            if "guidance" in body:
-                kw["guidance_scale"] = float(body["guidance"])
-            if "scheduler" in body:
-                kw["scheduler"] = str(body["scheduler"])
-            if "window_overlap" in body:
-                kw["window_overlap"] = float(body["window_overlap"])
-            params = GenParams(
-                negative_prompt=None if neg is None else str(neg),
-                window_seconds=None if ws is None else float(ws),
-                guidance_interval=gi, **kw,
-            )
-            seed = body.get("seed")
+            # fields PRESENT in the body (JSON null counts as absent)
+            # override the server-configured defaults (batcher.defaults,
+            # set from the serve command's flags); absent fields keep them,
+            # so `--geometry default` always matches a bare request even
+            # under non-default flags (round-5 review finding). The
+            # coercions sit INSIDE the try: a malformed value ({"steps":
+            # "fast"}) must be a 400, not an unhandled exception that drops
+            # the connection with no response (round-5 review finding).
+            try:
+                kw = {}
+                if body.get("steps") is not None:
+                    kw["num_inference_steps"] = int(body["steps"])
+                if body.get("seconds") is not None:
+                    kw["audio_length_in_s"] = float(body["seconds"])
+                if body.get("guidance") is not None:
+                    kw["guidance_scale"] = float(body["guidance"])
+                if body.get("scheduler") is not None:
+                    kw["scheduler"] = str(body["scheduler"])
+                if body.get("window_overlap") is not None:
+                    kw["window_overlap"] = float(body["window_overlap"])
+                if body.get("window_seconds") is not None:
+                    kw["window_seconds"] = float(body["window_seconds"])
+                if body.get("negative_prompt") is not None:
+                    kw["negative_prompt"] = str(body["negative_prompt"])
+                if gi is not None:
+                    kw["guidance_interval"] = gi
+                params = dataclasses.replace(batcher.defaults, **kw)
+                seed = body.get("seed")
+                seed = None if seed is None else int(seed)
+            except (TypeError, ValueError) as e:
+                return self._json(400, {"error": f"bad parameter: {type(e).__name__}: {e}"})
             t0 = time.monotonic()
             try:
                 fut = batcher.submit(
-                    str(body["prompt"]), body.get("adapter"), params,
-                    None if seed is None else int(seed),
+                    str(body["prompt"]), body.get("adapter"), params, seed,
                 )
                 wav = fut.result(timeout=request_timeout_s)
             except KeyError as e:

@@ -263,7 +263,13 @@ def main():
                 fn_text_c = lambda mods, *a: c_text(mods, *a)  # noqa: E731
                 fn_vae_c = lambda mods, lat: c_vae(mods, lat)  # noqa: E731
                 fn_voc_c = lambda mods, mel: c_voc(mods, mel)  # noqa: E731
-            else:  # lazy A/B path: plain jits (compile on first use)
+            elif getattr(fn, "lazy_stages", None) is not None:
+                # lazy A/B path (AUDIOLDM_BENCH_AOT=0): reuse the fine
+                # split's own stage jits, already compiled by the headline
+                # run — fresh jit wrappers here would be cache-distinct and
+                # pay three redundant remote compiles (round-5 review)
+                fn_text_c, _, fn_vae_c, fn_voc_c = fn.lazy_stages
+            else:  # 2-way split: no separate text/vae programs exist to reuse
                 from audioldm_tpu.pipeline.generate import decode_latents, encode_stage
 
                 voc_samples = int(seconds * modules.vocoder_cfg.sampling_rate)

@@ -643,3 +643,68 @@ def test_http_geometry_allowlist(engine):
         srv.shutdown()
         srv.server_close()
         mb.close()
+
+
+def test_http_bad_typed_fields_400(server):
+    """Malformed field TYPES must be a 400 with a body, not an unhandled
+    exception that drops the connection with no response (round-5 review
+    finding: the int()/float() coercions ran outside the try block)."""
+    base, _ = server
+    for body in (
+        {"prompt": "x", "steps": "fast"},
+        {"prompt": "x", "seconds": [10]},
+        {"prompt": "x", "guidance": "high"},
+        {"prompt": "x", "window_overlap": "half"},
+        {"prompt": "x", "seed": "abc"},
+    ):
+        code, resp = _post(base + "/v1/generate", body)
+        assert code == 400, body
+        assert "bad parameter" in resp["error"], resp
+
+
+def test_http_defaults_fill_from_server(engine):
+    """Fields absent from the body take the SERVER-configured defaults
+    (Microbatcher.defaults), so an operator serving non-default flags with
+    `--geometry default` serves bare requests instead of 400ing every one
+    (round-5 review finding). Explicit JSON null counts as absent."""
+    mb = Microbatcher(engine, max_batch=2, max_delay_ms=30.0,
+                      geometries=[PARAMS], defaults=PARAMS)
+    srv = make_server(mb, sample_rate=16000, port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        # bare request: every geometry field filled from defaults -> allowed
+        code, resp = _post(base + "/v1/generate", {"prompt": "hip hop beat"})
+        assert code == 200 and resp["samples"] == 160
+        # explicit null = absent, NOT "override with dataclass default"
+        code, resp = _post(base + "/v1/generate",
+                           {"prompt": "hip hop beat", "steps": None, "seconds": None})
+        assert code == 200
+        # a present field still overrides the default (and here leaves the
+        # allowlist -> 400)
+        code, resp = _post(base + "/v1/generate", {"prompt": "x", "steps": 3})
+        assert code == 400 and "allowlist" in resp["error"]
+    finally:
+        srv.shutdown()
+        srv.server_close()
+        mb.close()
+
+
+def test_geometry_allowlist_raw_tuple_normalized(engine):
+    """Raw-tuple allowlist entries get the same normalization as
+    GenParams.geometry(): a dangling window_overlap with windowing off is
+    coerced to None so the entry is matchable, and a wrong-arity tuple is
+    rejected at construction instead of becoming dead config (round-5
+    review finding)."""
+    raw = (2, 0.01, 2.0, "ddim", None, 0.5, None)  # dangling overlap slot
+    mb = Microbatcher(engine, max_batch=2, max_delay_ms=30.0, geometries=[raw])
+    try:
+        # PARAMS.geometry() normalizes its overlap slot to None; the raw
+        # entry above must have been normalized identically to match
+        wav = mb.submit("hip hop beat", params=PARAMS).result(timeout=120)
+        assert wav.shape == (160,)
+    finally:
+        mb.close()
+    with pytest.raises(ValueError, match="fields"):
+        Microbatcher(engine, max_batch=2, geometries=[(2, 0.01, 2.0)])

@@ -29,6 +29,20 @@ jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 
+def _median_iters(f, iters: int = 5) -> float:
+    """Median of per-iteration walls. The tunnel transport can stall a
+    single device_get for seconds (an 11.9 s outlier vs 0.40 s neighbors,
+    PERF.md round-5) — a 3-iter MEAN would blow through the tightened
+    thresholds as a fake regression; the median of 5 absorbs one stall.
+    Same rationale as bench.py's headline loop."""
+    walls = []
+    for i in range(iters):
+        t0 = time.perf_counter()
+        f(2 + i)
+        walls.append(time.perf_counter() - t0)
+    return sorted(walls)[iters // 2]
+
+
 def bench_unet_step() -> float:
     """Slope-timed UNet epsilon step (ms), flash attention routed."""
     from tools.bench_unet_step import timed_step
@@ -76,11 +90,7 @@ def bench_pipeline() -> float:
 
     run(0)  # compile (warm via persistent cache) + warmup
     run(1)
-    iters = 3
-    t0 = time.perf_counter()
-    for i in range(iters):
-        run(2 + i)
-    return (time.perf_counter() - t0) / iters
+    return _median_iters(run)
 
 
 def bench_train() -> float:
@@ -120,11 +130,9 @@ def bench_serving() -> float:
     gen = dict(num_inference_steps=50, audio_length_in_s=10.24, guidance_scale=2.5)
     eng.generate(prompts, adapters=adapters, seed=0, **gen)  # compile
     eng.generate(prompts, adapters=adapters, seed=1, **gen)  # warm
-    iters = 3
-    t0 = time.perf_counter()
-    for i in range(iters):
-        eng.generate(prompts, adapters=adapters, seed=2 + i, **gen)
-    return (time.perf_counter() - t0) / iters / 4
+    return _median_iters(
+        lambda seed: eng.generate(prompts, adapters=adapters, seed=seed, **gen)
+    ) / 4
 
 
 def main():
