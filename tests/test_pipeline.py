@@ -431,12 +431,15 @@ def test_guidance_interval_validation(modules):
                  window_stride=1, guidance_interval=(0.1, 0.5))
 
 
-@pytest.mark.quick
 def test_fine_split_matches_monolithic(modules):
     """make_generate_fn(split_compile="fine") runs text / scan / VAE-decode /
     vocoder as FOUR XLA programs (cold-start executable loads overlap on
     remote backends, VERDICT round-4 #1) — must be bit-equivalent to both
-    the 2-way split and the monolithic path at the exact same boundaries."""
+    the 2-way split and the monolithic path at the exact same boundaries.
+
+    Default (non-quick) tier: compiling five tiny pipeline programs costs
+    ~150 s on the 1-core box and inflates quick-tier neighbors via CPU
+    contention (measured 210 s with vs 59 s without, round 5)."""
     ids = jnp.full((1, 6), 5, jnp.int32).at[:, 0].set(0)
     mask = jnp.ones((1, 6), jnp.int32)
     u_ids = jnp.full((1, 6), 1, jnp.int32).at[:, 0].set(0)
