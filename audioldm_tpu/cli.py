@@ -720,14 +720,16 @@ def cmd_serve(args):
                 # only fields PRESENT in the JSON are passed; missing ones
                 # keep the server defaults above — same fill-in contract
                 # as the HTTP handler's request parse (daemon.py
-                # _generate); a hardcoded copy here would silently 400
-                # requests when one copy drifts
+                # _generate), where JSON null also counts as absent (a
+                # null here used to TypeError at startup while the
+                # handler accepted it; round-5 review finding). A
+                # hardcoded copy here would silently 400 requests when
+                # one copy drifts.
                 _conv = {"steps": ("num_inference_steps", int),
                          "seconds": ("audio_length_in_s", float),
                          "guidance": ("guidance_scale", float),
                          "scheduler": ("scheduler", str),
-                         "window_seconds": ("window_seconds",
-                                            lambda v: None if v is None else float(v)),
+                         "window_seconds": ("window_seconds", float),
                          "window_overlap": ("window_overlap", float)}
                 try:
                     d = json.loads(spec)
@@ -737,7 +739,7 @@ def cmd_serve(args):
                     if unknown:
                         raise ValueError(f"unknown fields {sorted(unknown)}")
                     kw = {_conv[k][0]: _conv[k][1](v) for k, v in d.items()
-                          if k != "guidance_interval"}
+                          if k != "guidance_interval" and v is not None}
                     gi = d.get("guidance_interval")
                     if gi is not None:
                         # same gate as the HTTP handler: a malformed entry
@@ -748,7 +750,10 @@ def cmd_serve(args):
                         if not 0.0 <= lo <= hi <= 1.0:
                             raise ValueError("guidance_interval needs 0 <= lo <= hi <= 1")
                         kw["guidance_interval"] = (lo, hi)
-                    geometries.append(dataclasses.replace(defaults, **kw))
+                    # validate() at startup: an entry the pipeline would
+                    # reject (bad scheduler, windowed+gi) is dead config
+                    # no request can ever serve — fail loud here
+                    geometries.append(dataclasses.replace(defaults, **kw).validate())
                 except (ValueError, TypeError, json.JSONDecodeError) as e:
                     raise SystemExit(f"--geometry expects 'default' or a JSON object "
                                      f"(steps/seconds/guidance/scheduler/window_seconds/"

@@ -34,8 +34,15 @@ def log_mel_host(
     hop: int = 160,
     n_mels: int = 64,
 ) -> np.ndarray:
-    """Host-side numpy log-mel ``[frames, n_mels]`` (Slaney bank, natural
-    log with the 1e-5 floor — the AudioLDM mel convention, ops/mel.py)."""
+    """Host-side numpy log-mel ``[frames, n_mels]`` for the correlation
+    gauge. NOT the model's mel space: this uses a POWER spectrum with
+    ``n_fft//2`` reflect padding (librosa-style), while ``ops/mel.py``
+    computes the AudioLDM convention — magnitude STFT with
+    ``(filter_length - hop)//2`` padding (torch.stft parity). The gauge
+    only ever correlates two outputs of THIS function, so the numbers are
+    self-consistent; just don't compare them against real-mel analyses
+    (round-5 review finding). Shares the Slaney bank, hann window, and
+    the 1e-5 log floor with ops/mel.py."""
     wav = np.asarray(wav, np.float64)
     pad = n_fft // 2
     y = np.pad(wav, (pad, pad), mode="reflect")
@@ -91,6 +98,16 @@ def calibrate_vocoder_gain(
     for _ in range(iters):
         wav = np.asarray(jax.device_get(voc_fn(modules, probe)))
         m = float(np.abs(wav).max())
+        if not math.isfinite(m) or m <= 1e-8:
+            # fail LOUD before touching the weights: a dead conv_post
+            # (m=0) would otherwise produce a ~3e11 scale and a NaN probe
+            # would poison ``modules.vocoder`` in place — either way the
+            # gauges downstream record garbage instead of an error
+            # (round-5 review finding). The caller's best-effort wrapper
+            # (bench.py secondary block) surfaces this in stderr.
+            raise RuntimeError(
+                f"vocoder probe amplitude {m!r} is unusable for gain "
+                "calibration (dead or non-finite conv_post output)")
         scale = math.atanh(target) / max(math.atanh(min(m, 0.999)), 1e-12)
         if abs(scale - 1.0) < 0.05:
             break

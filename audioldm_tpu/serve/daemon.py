@@ -45,6 +45,7 @@ import urllib.parse
 import dataclasses
 from collections import deque
 from concurrent.futures import Future
+from concurrent.futures import TimeoutError as FuturesTimeoutError
 from dataclasses import dataclass
 from typing import Optional
 
@@ -89,6 +90,37 @@ class GenParams:
             self.window_overlap if self.window_seconds is not None else None,
             self.guidance_interval,
         )
+
+    def validate(self) -> "GenParams":
+        """Raise ``ValueError`` for parameter combinations the pipeline
+        rejects at trace time (``pipeline/generate.py denoise``). The HTTP
+        handler calls this BEFORE submit so a bad request is a 400 at parse
+        time, not a server-side exception inside the batch thread — which
+        the handler must treat as a 500 (a blanket result-time
+        ValueError->400 would reclassify genuine server bugs as client
+        errors; round-5 review finding). Conservative by design: anything
+        this misses surfaces as a 500, never a wrong 400."""
+        if self.num_inference_steps < 1:
+            raise ValueError(f"steps must be >= 1, got {self.num_inference_steps}")
+        if not self.audio_length_in_s > 0:
+            raise ValueError(f"seconds must be > 0, got {self.audio_length_in_s}")
+        if self.scheduler not in ("ddim", "dpm++", "lcm"):
+            raise ValueError(f"unknown scheduler {self.scheduler!r}; "
+                             "one of: ddim, dpm++, lcm")
+        if self.window_seconds is not None:
+            if not self.window_seconds > 0:
+                raise ValueError(f"window_seconds must be > 0, got {self.window_seconds}")
+            if not 0.0 <= self.window_overlap < 1.0:
+                raise ValueError(f"window_overlap needs 0 <= ov < 1, got {self.window_overlap}")
+        if self.guidance_interval is not None:
+            if self.scheduler == "lcm":
+                raise ValueError("guidance_interval is incompatible with scheduler='lcm' "
+                                 "(LCM samples without CFG)")
+            if self.window_seconds is not None and self.window_seconds < self.audio_length_in_s:
+                # a covering window IS the standard path (pipeline allows it)
+                raise ValueError("guidance_interval is incompatible with windowed "
+                                 "long-form generation")
+        return self
 
 
 @dataclass
@@ -178,6 +210,21 @@ class Microbatcher:
                 f"geometry entry needs {want} fields (steps, seconds, "
                 f"guidance, scheduler, window_seconds, window_overlap, "
                 f"guidance_interval), got {t!r}")
+        # coerce field types to what GenParams.geometry() emits: a raw
+        # entry like ("2", ...) would pass the length check yet never
+        # equal any request's geometry (silent dead config), and a
+        # list-valued guidance_interval is unhashable — a bare TypeError
+        # out of the ctor's frozenset() with no hint which entry is bad
+        # (round-5 review finding)
+        try:
+            gi = None if t[6] is None else tuple(float(x) for x in t[6])
+            if gi is not None and len(gi) != 2:
+                raise ValueError("guidance_interval expects (lo, hi)")
+            t = (int(t[0]), float(t[1]), float(t[2]), str(t[3]),
+                 None if t[4] is None else float(t[4]),
+                 None if t[5] is None else float(t[5]), gi)
+        except (TypeError, ValueError) as e:
+            raise ValueError(f"bad geometry entry {t!r}: {e}") from e
         if t[4] is None and t[5] is not None:
             t = t[:5] + (None,) + t[6:]
         return t
@@ -511,6 +558,12 @@ def make_server(
                 body = self._read_body()
             except (ValueError, json.JSONDecodeError) as e:
                 return self._json(400, {"error": f"bad json: {e}"})
+            if not isinstance(body, dict):
+                # `5`, `null`, or `"a prompt"` are valid JSON but not a
+                # request object — without this gate they'd raise
+                # (`in`/.get on a non-dict) and drop the connection with
+                # no response (round-5 review finding)
+                return self._json(400, {"error": "request body must be a JSON object"})
             if self.path == "/v1/generate":
                 return self._generate(body)
             if self.path == "/v1/adapters":
@@ -575,24 +628,35 @@ def make_server(
                     kw["negative_prompt"] = str(body["negative_prompt"])
                 if gi is not None:
                     kw["guidance_interval"] = gi
-                params = dataclasses.replace(batcher.defaults, **kw)
+                params = dataclasses.replace(batcher.defaults, **kw).validate()
                 seed = body.get("seed")
                 seed = None if seed is None else int(seed)
             except (TypeError, ValueError) as e:
                 return self._json(400, {"error": f"bad parameter: {type(e).__name__}: {e}"})
             t0 = time.monotonic()
+            # submit-time rejections (geometry allowlist, unknown adapter)
+            # are the CLIENT's fault -> 400/503. Anything the batch thread
+            # raises afterwards arrives via the future and is a SERVER
+            # error -> 500: params.validate() above already rejected the
+            # known-bad parameter combinations, so a blanket result-time
+            # ValueError->400 would only reclassify genuine server bugs as
+            # client errors (round-5 review finding).
             try:
                 fut = batcher.submit(
                     str(body["prompt"]), body.get("adapter"), params, seed,
                 )
-                wav = fut.result(timeout=request_timeout_s)
             except KeyError as e:
                 return self._json(400, {"error": str(e)})
             except ValueError as e:
-                # bad request parameters: geometry not in the served
-                # allowlist (Microbatcher.geometries) or an engine-level
-                # parameter rejection — the client's fault, not a 500
                 return self._json(400, {"error": str(e)})
+            except RuntimeError as e:
+                # Microbatcher closed (server shutting down)
+                return self._json(503, {"error": str(e)})
+            try:
+                wav = fut.result(timeout=request_timeout_s)
+            except FuturesTimeoutError:
+                return self._json(504, {"error":
+                    f"request did not complete within {request_timeout_s}s"})
             except Exception as e:  # noqa: BLE001 — surface engine errors
                 return self._json(500, {"error": f"{type(e).__name__}: {e}"})
             self._json(200, {

@@ -255,7 +255,7 @@ def main():
     secondary = {"dpmpp25_s": None, "lcm4_s": None, "gi50_s": None}
     if os.environ.get("AUDIOLDM_BENCH_FAST") != "1":
         try:
-            from audioldm_tpu.pipeline.generate import make_scan_fn, vocode
+            from audioldm_tpu.pipeline.generate import make_scan_fn
 
             st = fn.stage_fns()
             if st is not None and len(st) == 4:
@@ -263,19 +263,15 @@ def main():
                 fn_text_c = lambda mods, *a: c_text(mods, *a)  # noqa: E731
                 fn_vae_c = lambda mods, lat: c_vae(mods, lat)  # noqa: E731
                 fn_voc_c = lambda mods, mel: c_voc(mods, mel)  # noqa: E731
-            elif getattr(fn, "lazy_stages", None) is not None:
+            else:
                 # lazy A/B path (AUDIOLDM_BENCH_AOT=0): reuse the fine
                 # split's own stage jits, already compiled by the headline
                 # run — fresh jit wrappers here would be cache-distinct and
-                # pay three redundant remote compiles (round-5 review)
+                # pay three redundant remote compiles (round-5 review).
+                # fn is always built with split_compile="fine" above, which
+                # sets lazy_stages unconditionally — a third "2-way" branch
+                # here was unreachable dead wiring (round-5 review finding).
                 fn_text_c, _, fn_vae_c, fn_voc_c = fn.lazy_stages
-            else:  # 2-way split: no separate text/vae programs exist to reuse
-                from audioldm_tpu.pipeline.generate import decode_latents, encode_stage
-
-                voc_samples = int(seconds * modules.vocoder_cfg.sampling_rate)
-                fn_text_c = jax.jit(lambda mods, *a: encode_stage(mods, *a))
-                fn_vae_c = jax.jit(lambda mods, lat: decode_latents(mods, lat, jnp.bfloat16))
-                fn_voc_c = jax.jit(lambda mods, mel: vocode(mods, mel, voc_samples))
 
             specs = {"dpmpp25_s": (25, "dpm++", None), "lcm4_s": (4, "lcm", None),
                      "gi50_s": (50, "ddim", (0.05, 0.65))}

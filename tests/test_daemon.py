@@ -708,3 +708,79 @@ def test_geometry_allowlist_raw_tuple_normalized(engine):
         mb.close()
     with pytest.raises(ValueError, match="fields"):
         Microbatcher(engine, max_batch=2, geometries=[(2, 0.01, 2.0)])
+
+
+def test_http_non_dict_body_400(server):
+    """Valid JSON that is not an object (`5`, `null`, a bare string) must be
+    a 400 with a body — `in`/`.get` on a non-dict used to raise in the
+    handler thread and drop the connection with no response (round-5 review
+    finding). The bare-string case is the nastiest: `"a prompt"` contains
+    the substring 'prompt', so `"prompt" in body` passed and the crash
+    moved to `.get`."""
+    base, _ = server
+    for body in (5, None, "a prompt", [1, 2]):
+        code, resp = _post(base + "/v1/generate", body)
+        assert code == 400, body
+        assert "JSON object" in resp["error"], resp
+        code, resp = _post(base + "/v1/adapters", body)
+        assert code == 400, body
+
+
+def test_http_invalid_param_combos_400(server):
+    """Parameter combinations the PIPELINE would reject at trace time are
+    400s at parse time (GenParams.validate), never server-side exceptions
+    inside the batch thread: a blanket result-time ValueError->400 would
+    reclassify genuine server bugs as client errors, so the handler now
+    maps result-time errors to 500 and relies on this pre-validation for
+    the client-fault cases (round-5 review finding)."""
+    base, _ = server
+    for body, frag in (
+        ({"prompt": "x", "scheduler": "fast"}, "scheduler"),
+        ({"prompt": "x", "steps": 0}, "steps"),
+        ({"prompt": "x", "seconds": 0}, "seconds"),
+        ({"prompt": "x", "steps": 2, "seconds": 0.01, "scheduler": "lcm",
+          "guidance_interval": [0.1, 0.5]}, "lcm"),
+        ({"prompt": "x", "steps": 2, "seconds": 0.01, "window_seconds": 0.005,
+          "guidance_interval": [0.1, 0.5]}, "windowed"),
+        ({"prompt": "x", "steps": 2, "seconds": 0.01, "window_seconds": 0.005,
+          "window_overlap": 1.5}, "window_overlap"),
+    ):
+        code, resp = _post(base + "/v1/generate", body)
+        assert code == 400, body
+        assert frag in resp["error"], (body, resp)
+
+
+def test_genparams_validate_mirrors_pipeline_rules():
+    """validate() accepts what the pipeline accepts: the covering-window +
+    guidance-interval combination IS the standard path (generate.py allows
+    it), so only a window that actually windows is rejected."""
+    GenParams(num_inference_steps=2, audio_length_in_s=0.01,
+              guidance_interval=(0.1, 0.5)).validate()
+    # covering window (window >= clip) with gi: allowed
+    GenParams(num_inference_steps=2, audio_length_in_s=0.01, window_seconds=0.02,
+              guidance_interval=(0.1, 0.5)).validate()
+    with pytest.raises(ValueError, match="windowed"):
+        GenParams(num_inference_steps=2, audio_length_in_s=0.01, window_seconds=0.005,
+                  guidance_interval=(0.1, 0.5)).validate()
+    with pytest.raises(ValueError, match="scheduler"):
+        GenParams(scheduler="euler").validate()
+
+
+def test_geometry_allowlist_entry_type_coercion(engine):
+    """Raw allowlist entries are coerced to the exact types
+    GenParams.geometry() emits: a str-typed steps field used to pass the
+    arity check yet could never match any request (silent dead config), and
+    a list-valued guidance_interval blew up the ctor's frozenset() with a
+    bare unhashable TypeError naming no entry (round-5 review finding)."""
+    raw = ("2", "0.01", 2.0, "ddim", None, None, [0.05, 0.65])
+    mb = Microbatcher(engine, max_batch=2, max_delay_ms=30.0, geometries=[raw])
+    try:
+        assert (2, 0.01, 2.0, "ddim", None, None, (0.05, 0.65)) in mb.geometries
+    finally:
+        mb.close()
+    with pytest.raises(ValueError, match="bad geometry entry"):
+        Microbatcher(engine, max_batch=2,
+                     geometries=[(object(), 0.01, 2.0, "ddim", None, None, None)])
+    with pytest.raises(ValueError, match="lo, hi"):
+        Microbatcher(engine, max_batch=2,
+                     geometries=[(2, 0.01, 2.0, "ddim", None, None, [0.1, 0.5, 0.9])])

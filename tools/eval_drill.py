@@ -132,6 +132,13 @@ def make_wavs(folder: str, n: int, seed: int, seconds: float = 3.0) -> None:
     rng = np.random.default_rng(seed)
     t = np.arange(int(seconds * SR)) / SR
     os.makedirs(folder, exist_ok=True)
+    for stale in os.listdir(folder):
+        # both the CLI and the torch oracle glob EVERY *.wav: leftovers
+        # from a larger prior --clips run in a reused --out dir would be
+        # silently scored (parity still passes — both stacks read the same
+        # files — so the wrong corpus is invisible; round-5 review finding)
+        if stale.endswith(".wav"):
+            os.remove(os.path.join(folder, stale))
     for i in range(n):
         freqs = rng.uniform(80.0, 4000.0, size=4)
         amps = rng.uniform(0.05, 0.15, size=4)

@@ -171,11 +171,15 @@ def main():
     # deterministic feature map, NOT a trained judge)
     t0 = time.time()
     clap_params = init_clap_audio(jax.random.PRNGKey(args.seed + 1), clap_cfg)
-    clap_fn = jax.jit(lambda f, l: apply_clap_audio(clap_params, clap_cfg, f, l)["audio_embeds"])
+    # params as a jit ARGUMENT, not a closure: closed-over weights are
+    # baked into the lowered program as constants and shipped over the
+    # slow tunnel inside the serialized executable (the repo-wide rule,
+    # pipeline/generate.py; round-5 review finding)
+    clap_fn = jax.jit(lambda p, f, l: apply_clap_audio(p, clap_cfg, f, l)["audio_embeds"])
     order = list(wavs)
     feats, longer = batch_fused_features(
         [resample_np(wavs[k], sr, 48000) for k in order])
-    emb = np.asarray(jax.device_get(clap_fn(feats, longer)))
+    emb = np.asarray(jax.device_get(clap_fn(clap_params, feats, longer)))
     emb = emb / np.linalg.norm(emb, axis=-1, keepdims=True)
     print(f"# CLAP tower: {time.time() - t0:.1f}s", file=sys.stderr)
 
