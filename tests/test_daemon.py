@@ -784,3 +784,23 @@ def test_geometry_allowlist_entry_type_coercion(engine):
     with pytest.raises(ValueError, match="lo, hi"):
         Microbatcher(engine, max_batch=2,
                      geometries=[(2, 0.01, 2.0, "ddim", None, None, [0.1, 0.5, 0.9])])
+
+
+def test_http_request_timeout_504(engine):
+    """A request that cannot complete within request_timeout_s is a 504 —
+    a timeout is the deadline's fault, not an internal error, so it must
+    not masquerade as a 500 (round-5 hardening)."""
+    mb = Microbatcher(engine, max_batch=2, max_delay_ms=30.0)
+    srv = make_server(mb, sample_rate=16000, port=0, request_timeout_s=0.001)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        code, resp = _post(base + "/v1/generate",
+                           {"prompt": "x", "steps": 2, "seconds": 0.01})
+        assert code == 504, (code, resp)
+        assert "did not complete" in resp["error"]
+    finally:
+        srv.shutdown()
+        srv.server_close()
+        mb.close()
