@@ -423,7 +423,7 @@ class DataPipeline:
         if with_plugins and self.add_ons:
             log_mel_np, stft_np = np.asarray(log_mel), np.asarray(stft)
             rows: list[dict] = []
-            for b, idx in enumerate(indices):
+            for b in range(len(indices)):
                 item = {
                     "waveform": waveforms[b],
                     "log_mel_spec": log_mel_np[b],
@@ -470,20 +470,20 @@ class DataPipeline:
         def gen():
             epoch = 0
             n = len(self.dataset)
-            if drop_last and n < batch_size:
-                # would otherwise spin forever yielding nothing (e.g. a tiny
-                # dataset with a large global batch = per-device bs x dp)
+            if n == 0 or (drop_last and n < batch_size):
+                # would otherwise spin forever yielding nothing (a tiny
+                # dataset with a large global batch = per-device bs x dp;
+                # or an empty dataset, whose per-epoch range is empty even
+                # without drop_last — round-5 review finding)
                 raise ValueError(
-                    f"dataset has {n} items < batch_size {batch_size} with "
-                    "drop_last — no full batch can ever be formed"
+                    f"dataset has {n} items < batch_size {batch_size}"
+                    + (" with drop_last" if drop_last else "")
+                    + " — no full batch can ever be formed"
                 )
             while epochs is None or epoch < epochs:
                 order = rng.permutation(n) if shuffle else np.arange(n)
                 for i in range(0, n - (batch_size - 1 if drop_last else 0), batch_size):
-                    idx = order[i : i + batch_size]
-                    if len(idx) == 0:
-                        continue
-                    yield self.make_batch(list(idx), rng)
+                    yield self.make_batch(list(order[i : i + batch_size]), rng)
                 epoch += 1
 
         if prefetch <= 0:
@@ -495,23 +495,49 @@ class DataPipeline:
 
         q: "queue.Queue" = queue.Queue(maxsize=prefetch)
         stop = object()
+        closed = threading.Event()
+
+        def _put(item) -> bool:
+            # bounded put: a consumer that abandons the iterator (e.g.
+            # Trainer.fit breaking at max_steps mid-epoch) used to leave
+            # the worker blocked in q.put FOREVER, pinning prefetch+1
+            # built batches and a live thread per fit() for the rest of
+            # the process (round-5 review finding)
+            while not closed.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
             # exceptions travel to the consumer — a crashed pipeline must
             # NOT look like clean end-of-data to the training loop
             try:
                 for item in gen():
-                    q.put(item)
-                q.put(stop)
+                    if not _put(item):
+                        return
+                _put(stop)
             except BaseException as e:  # noqa: BLE001 — re-raised in consumer
-                q.put(e)
+                _put(e)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is stop:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is stop:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            # runs on GeneratorExit too: signal the worker and drain the
+            # queue so a mid-put worker unblocks and exits promptly
+            closed.set()
+            while True:
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break

@@ -132,8 +132,11 @@ def _phoneme_ids(meta: dict, lookup: dict, pad_length: int) -> np.ndarray:
         "phoneme add-on requires a 'phoneme' list in the item metadata"
     )
     ids = [lookup[p] for p in meta["phoneme"] if p in lookup]
+    # truncation happens at ANY overflow; the warning fires only past 5x,
+    # matching the reference exactly (dataset_plugin.py:261-263,331-333)
     if len(ids) / pad_length > 5:
-        print(f"Warning: phoneme sequence truncated from {len(ids)} to {pad_length}")
+        print(f"Warning: phoneme sequence is too long and is truncated too "
+              f"much ({len(ids)} -> {pad_length})")
     return _pad_to(ids[:pad_length], pad_length, len(lookup))
 
 

@@ -196,6 +196,12 @@ def load_tokenizer(folder: str, model_max_length: int = 512):
                     if truncation and len(ids) > L - 2:
                         ids = ids[: L - 2]
                     ids_list.append([self.bos_token_id] + ids + [self.eos_token_id])
+                if padding != "max_length":
+                    # pad to the batch longest like the vendored fallback
+                    # — ignoring the padding arg here made output shapes
+                    # depend on whether the Rust wheel is installed
+                    # (round-5 review finding)
+                    L = max(len(ids) for ids in ids_list)
                 out_ids = np.full((len(ids_list), L), self.pad_token_id, np.int32)
                 out_mask = np.zeros((len(ids_list), L), np.int32)
                 for i, ids in enumerate(ids_list):

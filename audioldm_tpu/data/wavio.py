@@ -41,7 +41,16 @@ def read_wav(path: str) -> tuple[np.ndarray, int]:
             raise ValueError(f"missing fmt/data chunk: {path}")
         audio_format, channels, sr, _, _, bits = fmt
         if audio_format == 3:
-            x = np.frombuffer(data, dtype="<f4").astype(np.float32)
+            if bits == 64:
+                x = np.frombuffer(data, dtype="<f8").astype(np.float32)
+            else:
+                x = np.frombuffer(data, dtype="<f4").astype(np.float32)
+        elif audio_format != 1:
+            # the bits-per-sample branches below assume integer PCM: a
+            # mu-law (format 7) or a-law (format 6) file also reports
+            # bits=8 and would decode silently as garbage audio
+            # (round-5 review finding)
+            raise ValueError(f"unsupported wav: format={audio_format} bits={bits}")
         elif bits == 16:
             # hot path for the common PCM16 case: C++ decode+downmix in one
             # pass (cpp/audioprep.cpp), numpy fallback inside

@@ -352,3 +352,79 @@ def test_pipeline_prefetch_thread(bpe_files, rng):
     assert len(fetched) == len(plain) == 2
     for a, b in zip(plain, fetched):
         np.testing.assert_allclose(np.asarray(a["log_mel_spec"]), np.asarray(b["log_mel_spec"]), atol=1e-6)
+
+
+@pytest.mark.quick
+def test_pipeline_empty_dataset_raises(bpe_files, rng):
+    """An EMPTY dataset must raise even without drop_last — the per-epoch
+    range is empty, so the epochs=None loop used to busy-spin forever
+    yielding nothing (round-5 review finding)."""
+    vocab, merges = bpe_files
+    tok = RobertaBPETokenizer.from_files(vocab, merges)
+    pipe = DataPipeline(AudioCaptionDataset([]), tok, SMALL_MEL, max_text_length=8)
+    with pytest.raises(ValueError, match="0 items"):
+        next(iter(pipe.batches(2, np.random.default_rng(0), drop_last=False)))
+
+
+def test_pipeline_prefetch_abandoned_iterator_stops_worker(bpe_files, rng):
+    """Abandoning a prefetching iterator mid-epoch (Trainer.fit breaks at
+    max_steps) must let the worker thread exit instead of leaving it
+    blocked in q.put holding prefetch+1 built batches for the rest of the
+    process (round-5 review finding)."""
+    import threading
+    import time as _time
+
+    vocab, merges = bpe_files
+    tok = RobertaBPETokenizer.from_files(vocab, merges)
+    items = [
+        {"wav": (rng.standard_normal(6000) * 0.4).astype(np.float32), "sr": 16000, "caption": f"clip {i}"}
+        for i in range(6)
+    ]
+    pipe = DataPipeline(AudioCaptionDataset(items), tok, SMALL_MEL, max_text_length=8)
+    before = threading.active_count()
+    it = pipe.batches(1, np.random.default_rng(0), epochs=None, prefetch=2)
+    next(it)  # worker is now running and will fill the queue
+    it.close()  # consumer abandons mid-epoch (what a GC'd generator does)
+    deadline = _time.monotonic() + 10.0
+    while threading.active_count() > before and _time.monotonic() < deadline:
+        _time.sleep(0.05)
+    assert threading.active_count() <= before, "prefetch worker leaked"
+
+
+def test_read_wav_rejects_compressed_formats(tmp_path):
+    """A mu-law wav reports bits=8 and used to fall into the unsigned-PCM8
+    branch, decoding silently as garbage — non-PCM, non-float formats must
+    raise (round-5 review finding)."""
+    import struct
+
+    data = bytes(range(64))
+    for fmt_code in (6, 7):  # a-law, mu-law
+        payload = struct.pack("<HHIIHH", fmt_code, 1, 8000, 8000, 1, 8)
+        riff = (b"RIFF" + struct.pack("<I", 4 + 8 + len(payload) + 8 + len(data))
+                + b"WAVE" + b"fmt " + struct.pack("<I", len(payload)) + payload
+                + b"data" + struct.pack("<I", len(data)) + data)
+        p = tmp_path / f"fmt{fmt_code}.wav"
+        p.write_bytes(riff)
+        with pytest.raises(ValueError, match="unsupported wav"):
+            read_wav(str(p))
+
+
+def test_rust_wrap_tokenizer_honors_padding_longest(bpe_files):
+    """The Rust-wheel wrapper must honor padding != 'max_length' like the
+    vendored fallback — ignoring it made output shapes depend on whether
+    the 'tokenizers' wheel is installed (round-5 review finding)."""
+    import os
+
+    from audioldm_tpu.data.tokenizer import load_tokenizer
+
+    vocab, merges = bpe_files
+    folder = os.path.dirname(vocab)
+    wrap = load_tokenizer(folder)
+    vend = RobertaBPETokenizer.from_files(vocab, merges)
+    texts = ["hip hop", "hip hop music with a long caption"]
+    a = wrap(texts, max_length=64, padding="longest")
+    b = vend(texts, max_length=64, padding="longest")
+    assert a["input_ids"].shape == b["input_ids"].shape
+    assert a["input_ids"].shape[1] < 64  # actually batch-longest, not max
+    np.testing.assert_array_equal(a["input_ids"], b["input_ids"])
+    np.testing.assert_array_equal(a["attention_mask"], b["attention_mask"])
