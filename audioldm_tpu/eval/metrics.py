@@ -6,7 +6,9 @@ Formula parity targets in the reference:
   (script/train/train_audioldm_lora.py:128-137);
 - KAD: unbiased MMD^2 between CLAP audio embedding sets with
   gaussian/iq/imq kernels, median-pairwise-distance bandwidth from the
-  *reference* set, NaN/underflow fallback to 1.0, scaled x100
+  *generated* set (the reference calls ``calc_kernel_audio_distance(ref,
+  gen)`` with the bandwidth from ``y`` — see kernel_audio_distance's
+  docstring), NaN/underflow fallback to 1.0, scaled x100
   (script/train/train_audioldm_lora.py:234-294, SCALE_FACTOR at :71;
   standalone duplicate in script/inference/inference.py:8-77).
 
@@ -87,6 +89,13 @@ def kernel_audio_distance(
     (``kad(ref, gen)``)."""
     x = x.astype(jnp.float32)
     y = y.astype(jnp.float32)
+    if x.shape[0] < 2 or y.shape[0] < 2:
+        # the unbiased estimator divides by n*(n-1): one embedding per set
+        # yields a silent NaN that flows into results JSON / metrics.jsonl
+        # (round-5 review finding) — fail with an actionable message
+        raise ValueError(
+            f"KAD needs >= 2 embeddings per set, got {x.shape[0]} vs "
+            f"{y.shape[0]} (add more clips to the smaller corpus)")
     if bandwidth is None:
         bw = median_pairwise_distance(y)
         bw = jnp.where(jnp.isnan(bw) | (bw < 1e-6), 1.0, bw)

@@ -77,7 +77,7 @@ def embedding_cosine(a: np.ndarray, b: np.ndarray) -> float:
 
 
 def calibrate_vocoder_gain(
-    modules, voc_fn, mel_aval, target: float = 0.3, iters: int = 2
+    modules, voc_fn, mel_aval, target: float = 0.3, iters: int = 4
 ) -> float:
     """Scale ``modules.vocoder``'s conv_post (last layer, pre-tanh) so a
     unit-normal mel probe lands at ~``target`` post-tanh amplitude; returns
@@ -94,26 +94,41 @@ def calibrate_vocoder_gain(
     import jax
 
     total = 1.0
+    cp0 = modules.vocoder["conv_post"]  # restored on any failure below
     probe = jax.random.normal(jax.random.PRNGKey(7), mel_aval.shape, mel_aval.dtype)
+
+    def _fail(msg):
+        # fail LOUD and leave the bundle unmutated: returning a bogus
+        # "gain" (or leaving a ~3e11/NaN scale applied in place) makes the
+        # downstream gauges record garbage instead of an error — the exact
+        # vacuous-readings failure this function exists to prevent
+        # (round-5 review findings). The caller's best-effort wrapper
+        # (bench.py secondary block) surfaces this in stderr.
+        modules.vocoder = {**modules.vocoder, "conv_post": cp0}
+        raise RuntimeError(msg)
+
+    m = None
     for _ in range(iters):
         wav = np.asarray(jax.device_get(voc_fn(modules, probe)))
         m = float(np.abs(wav).max())
         if not math.isfinite(m) or m <= 1e-8:
-            # fail LOUD before touching the weights: a dead conv_post
-            # (m=0) would otherwise produce a ~3e11 scale and a NaN probe
-            # would poison ``modules.vocoder`` in place — either way the
-            # gauges downstream record garbage instead of an error
-            # (round-5 review finding). The caller's best-effort wrapper
-            # (bench.py secondary block) surfaces this in stderr.
-            raise RuntimeError(
-                f"vocoder probe amplitude {m!r} is unusable for gain "
-                "calibration (dead or non-finite conv_post output)")
+            _fail(f"vocoder probe amplitude {m!r} is unusable for gain "
+                  "calibration (dead or non-finite conv_post output)")
         scale = math.atanh(target) / max(math.atanh(min(m, 0.999)), 1e-12)
         if abs(scale - 1.0) < 0.05:
-            break
+            return total
         cp = modules.vocoder["conv_post"]
         modules.vocoder = {**modules.vocoder, "conv_post": {
             "kernel": cp["kernel"] * scale, "bias": cp["bias"] * scale,
         }}
         total *= scale
+    # iters exhausted without the convergence break: VERIFY instead of
+    # trusting — a strongly railed vocoder attenuates only ~0.08x per pass
+    # and used to exit still railed, quietly re-enabling the vacuous
+    # prox_mel_* = 1.0 readings (round-5 review finding)
+    wav = np.asarray(jax.device_get(voc_fn(modules, probe)))
+    m = float(np.abs(wav).max())
+    if not (0.02 <= m <= 0.98):
+        _fail(f"vocoder gain calibration did not converge in {iters} passes "
+              f"(final probe amplitude {m:.3g}, target {target})")
     return total

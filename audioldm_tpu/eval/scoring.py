@@ -59,17 +59,24 @@ class ClapScorer:
         """Batched HTSAT embeddings. The corpus streams through the jitted
         audio tower in fixed-size chunks (last chunk zero-padded, trimmed
         after) so ONE compile serves any corpus length — per-clip embeddings
-        are independent, so chunking is numerically free."""
+        are independent, so chunking is numerically free. Sub-batch corpora
+        pad to the next power of two (capped at ``batch_size``): at most
+        log2(batch_size)+1 compile keys total, instead of one compile per
+        distinct corpus size (round-5 review finding) while a tiny corpus
+        still doesn't pay the full-batch FLOPs."""
         feats, longer = batch_fused_features(waveforms_48k, rng)
         n = feats.shape[0]
-        if batch_size is None or n <= batch_size:
+        if batch_size is None:
             emb = self._audio_fn(feats, longer)
         else:
+            bucket = 1
+            while bucket < min(n, batch_size):
+                bucket *= 2
             chunks = []
-            for i in range(0, n, batch_size):
-                f, l = feats[i : i + batch_size], longer[i : i + batch_size]
+            for i in range(0, n, bucket):
+                f, l = feats[i : i + bucket], longer[i : i + bucket]
                 keep = f.shape[0]
-                pad = batch_size - keep
+                pad = bucket - keep
                 if pad:
                     f = jnp.concatenate([f, jnp.zeros((pad, *f.shape[1:]), f.dtype)])
                     l = jnp.concatenate([l, jnp.zeros((pad,), l.dtype)])
@@ -78,8 +85,27 @@ class ClapScorer:
         return emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
 
     def embed_text(self, texts: list[str]) -> jnp.ndarray:
-        tok = self.tokenizer(texts, max_length=77)
-        emb = self._text_fn(jnp.asarray(tok["input_ids"]), jnp.asarray(tok["attention_mask"]))
+        # reference parity: `clap_processor(text=..., padding=True)` pads to
+        # the batch longest WITHOUT truncation (RoBERTa max 512,
+        # train_audioldm_lora.py:133) — a 77-token cap was the CLIP
+        # convention, not CLAP's (round-5 review finding). Sequence length
+        # then rounds up to a power-of-two bucket: masked PAD positions
+        # don't change the embedding (pinned by
+        # tests/test_data.py::test_text_bucketing_embedding_equivalence),
+        # and per-prompt-length retraces would cost a remote compile each.
+        max_len = self.text_cfg.max_position_embeddings - 2
+        tok = self.tokenizer(texts, max_length=max_len, padding="longest")
+        ids, mask = np.asarray(tok["input_ids"]), np.asarray(tok["attention_mask"])
+        bucket = 8
+        while bucket < ids.shape[1]:
+            bucket *= 2
+        bucket = min(bucket, max_len)
+        if ids.shape[1] < bucket:
+            pad_id = getattr(self.tokenizer, "pad_token_id", 1)
+            extra = bucket - ids.shape[1]
+            ids = np.pad(ids, ((0, 0), (0, extra)), constant_values=pad_id)
+            mask = np.pad(mask, ((0, 0), (0, extra)))
+        emb = self._text_fn(jnp.asarray(ids), jnp.asarray(mask))
         return emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
 
     def clap_scores(self, waveforms_48k: list[np.ndarray], prompt: str) -> np.ndarray:
@@ -100,14 +126,21 @@ class ClapScorer:
 def _load_dir_48k(folder: str, limit: Optional[int] = None) -> list[np.ndarray]:
     out = []
     for name in sorted(os.listdir(folder)):
-        if not name.endswith(".wav"):
+        if not name.lower().endswith(".wav"):
             continue
         wav, sr = read_wav(os.path.join(folder, name))
+        if wav.size == 0:
+            # a zero-length wav would crash far downstream with a bare
+            # ZeroDivisionError in the fusion feature repeat
+            # (round-5 review finding)
+            raise ValueError(f"empty wav file: {os.path.join(folder, name)}")
         if sr != 48000:
             wav = np.asarray(resample(jnp.asarray(wav), sr, 48000))
         out.append(wav)
         if limit and len(out) >= limit:
             break
+    if not out:
+        raise ValueError(f"no .wav files found in {folder}")
     return out
 
 

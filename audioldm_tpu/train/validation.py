@@ -119,11 +119,17 @@ def log_validation(
             clap_similarity(g_emb, jnp.broadcast_to(t_emb, g_emb.shape)))))
         results["original_clap_score"] = float(np.mean(np.asarray(
             clap_similarity(o_emb, jnp.broadcast_to(t_emb, o_emb.shape)))))
-        if ref_audios_16k is not None:
+        if ref_audios_16k is not None and len(ref_audios_16k) >= 2 and len(audios) >= 2:
             ref48 = to48k(ref_audios_16k)
             r_emb = scorer.embed_audio(ref48)
             results["kad_score_lora"] = float(kernel_audio_distance(r_emb, g_emb))
             results["kad_score_original"] = float(kernel_audio_distance(r_emb, o_emb))
+        elif ref_audios_16k is not None:
+            # the unbiased KAD estimator needs >= 2 embeddings per set
+            # (kernel_audio_distance raises); skip rather than kill a
+            # training run over an undersized validation set
+            print("validation: skipping KAD (needs >= 2 clips per set, got "
+                  f"{len(ref_audios_16k)} ref / {len(audios)} generated)")
         # NB: scalar metrics are returned, not logged here — Trainer.fit logs
         # the returned floats (avoids double-logging when used as validate_fn)
     return results

@@ -11,6 +11,7 @@ runs are observable.
 from __future__ import annotations
 
 import json
+import math
 import os
 import time
 from typing import Optional
@@ -53,14 +54,18 @@ class MetricLogger:
         rec = {"step": step, "time": time.time()}
         for k, v in metrics.items():
             if isinstance(v, (int, float, np.floating, np.integer)):
-                rec[k] = float(v)
+                # JSON has no NaN/Infinity: json.dumps would emit a bare
+                # `NaN` token that breaks jq/JSON.parse on the whole line
+                # (round-5 review finding); null keeps the line valid and
+                # the non-finite value visible
+                rec[k] = float(v) if math.isfinite(v) else None
         self._jsonl.write(json.dumps(rec) + "\n")
         self._jsonl.flush()
         if self._wandb is not None:
             self._wandb.log(metrics, step=step)
         if self._tb is not None:
             for k, v in rec.items():
-                if k not in ("step", "time"):
+                if k not in ("step", "time") and v is not None:
                     self._tb.add_scalar(k, v, global_step=step)
 
     def log_audio(self, name: str, waveform: np.ndarray, sample_rate: int, step: int, output_dir: Optional[str] = None):

@@ -428,3 +428,39 @@ def test_rust_wrap_tokenizer_honors_padding_longest(bpe_files):
     assert a["input_ids"].shape[1] < 64  # actually batch-longest, not max
     np.testing.assert_array_equal(a["input_ids"], b["input_ids"])
     np.testing.assert_array_equal(a["attention_mask"], b["attention_mask"])
+
+
+@pytest.mark.quick
+def test_load_dir_48k_guards(tmp_path):
+    """Empty directories and zero-length wavs fail with actionable errors,
+    not a bare np.stack/ZeroDivisionError deep in the feature path; .WAV
+    uppercase extensions are accepted (round-5 review finding)."""
+    from audioldm_tpu.eval.scoring import _load_dir_48k
+
+    with pytest.raises(ValueError, match="no .wav files"):
+        _load_dir_48k(str(tmp_path))
+    write_wav(str(tmp_path / "a.WAV"), np.zeros(480, np.float32) + 0.1, 48000)
+    assert len(_load_dir_48k(str(tmp_path))) == 1
+    with open(tmp_path / "empty.wav", "wb") as f:  # header-only RIFF
+        import struct
+        payload = struct.pack("<HHIIHH", 1, 1, 48000, 96000, 2, 16)
+        f.write(b"RIFF" + struct.pack("<I", 4 + 8 + len(payload) + 8) + b"WAVE"
+                + b"fmt " + struct.pack("<I", len(payload)) + payload
+                + b"data" + struct.pack("<I", 0))
+    with pytest.raises(ValueError, match="empty wav"):
+        _load_dir_48k(str(tmp_path))
+
+
+def test_metric_logger_nonfinite_values_stay_valid_json(tmp_path):
+    """NaN/inf metric values must not produce bare `NaN` tokens that break
+    strict-JSON consumers of metrics.jsonl (round-5 review finding)."""
+    import json as _json
+
+    from audioldm_tpu.utils.logging import MetricLogger
+
+    lg = MetricLogger(str(tmp_path))
+    lg.log({"loss": float("nan"), "lr": 1e-4, "bad": float("inf")}, step=1)
+    lg.close()
+    line = open(tmp_path / "metrics.jsonl").readline()
+    rec = _json.loads(line)  # strict parse must succeed
+    assert rec["loss"] is None and rec["bad"] is None and rec["lr"] == 1e-4

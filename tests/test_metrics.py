@@ -133,3 +133,16 @@ def test_proximity_gauges():
     assert embedding_cosine(v, v) == pytest.approx(1.0)
     assert embedding_cosine(v, -v) == pytest.approx(-1.0)
     assert abs(embedding_cosine(v, w)) < 0.2
+
+
+@pytest.mark.quick
+def test_kad_rejects_single_element_sets(rng):
+    """The unbiased estimator divides by n*(n-1): one embedding per set
+    used to yield a silent NaN that flowed into results JSON
+    (round-5 review finding)."""
+    x = jnp.asarray(rng.standard_normal((1, 8)), jnp.float32)
+    y = jnp.asarray(rng.standard_normal((4, 8)), jnp.float32)
+    with pytest.raises(ValueError, match=">= 2 embeddings"):
+        kernel_audio_distance(x, y)
+    with pytest.raises(ValueError, match=">= 2 embeddings"):
+        kernel_audio_distance(y, x)
