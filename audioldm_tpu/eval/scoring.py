@@ -31,8 +31,12 @@ class ClapScorer:
         self.text_params, self.text_cfg = text_params, text_cfg
         self.audio_params, self.audio_cfg = audio_params, audio_cfg
         self.tokenizer = tokenizer
-        self._audio_fn = jax.jit(lambda f, l: apply_clap_audio(audio_params, audio_cfg, f, l)["audio_embeds"])
-        self._text_fn = jax.jit(lambda i, m: apply_clap_text(text_params, text_cfg, i, m)["text_embeds"])
+        # params as jit ARGUMENTS, not closure constants: closed-over
+        # weights are serialized into the lowered program — on the
+        # remote-compile backend that ships the full CLAP tower inside
+        # the HLO/executable (the repo-wide rule, pipeline/generate.py)
+        self._audio_fn = jax.jit(lambda p, f, l: apply_clap_audio(p, audio_cfg, f, l)["audio_embeds"])
+        self._text_fn = jax.jit(lambda p, i, m: apply_clap_text(p, text_cfg, i, m)["text_embeds"])
 
     @classmethod
     def from_checkpoint(cls, clap_dir: str) -> "ClapScorer":
@@ -67,7 +71,7 @@ class ClapScorer:
         feats, longer = batch_fused_features(waveforms_48k, rng)
         n = feats.shape[0]
         if batch_size is None:
-            emb = self._audio_fn(feats, longer)
+            emb = self._audio_fn(self.audio_params, feats, longer)
         else:
             bucket = 1
             while bucket < min(n, batch_size):
@@ -80,7 +84,7 @@ class ClapScorer:
                 if pad:
                     f = jnp.concatenate([f, jnp.zeros((pad, *f.shape[1:]), f.dtype)])
                     l = jnp.concatenate([l, jnp.zeros((pad,), l.dtype)])
-                chunks.append(self._audio_fn(f, l)[:keep])
+                chunks.append(self._audio_fn(self.audio_params, f, l)[:keep])
             emb = jnp.concatenate(chunks, axis=0)
         return emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
 
@@ -105,7 +109,7 @@ class ClapScorer:
             extra = bucket - ids.shape[1]
             ids = np.pad(ids, ((0, 0), (0, extra)), constant_values=pad_id)
             mask = np.pad(mask, ((0, 0), (0, extra)))
-        emb = self._text_fn(jnp.asarray(ids), jnp.asarray(mask))
+        emb = self._text_fn(self.text_params, jnp.asarray(ids), jnp.asarray(mask))
         return emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
 
     def clap_scores(self, waveforms_48k: list[np.ndarray], prompt: str) -> np.ndarray:
